@@ -1,0 +1,97 @@
+"""Host-side bridge between the reference Gymnasium envs and SoA state.
+
+Used by the test rig only: a reference env (driven as the CPU oracle) is
+snapshotted into an :class:`EnvState`, then both sides are stepped with the
+same action script and must agree bit-exactly on observations, rewards and
+termination — the strategy modeled on the reference's own determinism test
+(/root/reference/tests/test_envs.py:48-103).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from minigrid_dynamicprogramming_tpu.core.constants import OBJ_EMPTY
+from minigrid_dynamicprogramming_tpu.core.state import (
+    AUX_SLOTS,
+    MISSION_SLOTS,
+    EnvParams,
+    EnvState,
+)
+
+
+def state_from_reference(ref_env, rng=None) -> EnvState:
+    """Snapshot a (reset) reference ``MiniGridEnv`` into an ``EnvState``."""
+    env = ref_env.unwrapped
+    w, h = env.width, env.height
+
+    grid_obj = np.full((h, w), OBJ_EMPTY, dtype=np.uint8)
+    grid_color = np.zeros((h, w), dtype=np.uint8)
+    grid_state = np.zeros((h, w), dtype=np.uint8)
+    contains_obj = np.full((h, w), OBJ_EMPTY, dtype=np.uint8)
+    contains_color = np.zeros((h, w), dtype=np.uint8)
+
+    for y in range(h):
+        for x in range(w):
+            cell = env.grid.get(x, y)
+            if cell is None:
+                continue
+            t, c, s = cell.encode()
+            grid_obj[y, x] = t
+            grid_color[y, x] = c
+            grid_state[y, x] = s
+            if cell.type == "box" and cell.contains is not None:
+                ct, cc, _ = cell.contains.encode()
+                contains_obj[y, x] = ct
+                contains_color[y, x] = cc
+
+    if env.carrying is not None:
+        ct, cc, _ = env.carrying.encode()
+        carrying_obj, carrying_color = ct, cc
+        if env.carrying.type == "box" and env.carrying.contains is not None:
+            bt, bc, _ = env.carrying.contains.encode()
+            carry_in_obj, carry_in_color = bt, bc
+        else:
+            carry_in_obj, carry_in_color = OBJ_EMPTY, 0
+    else:
+        carrying_obj, carrying_color = OBJ_EMPTY, 0
+        carry_in_obj, carry_in_color = OBJ_EMPTY, 0
+
+    if rng is None:
+        import jax
+
+        rng = jax.random.PRNGKey(0)
+
+    return EnvState(
+        grid_obj=jnp.asarray(grid_obj),
+        grid_color=jnp.asarray(grid_color),
+        grid_state=jnp.asarray(grid_state),
+        contains_obj=jnp.asarray(contains_obj),
+        contains_color=jnp.asarray(contains_color),
+        agent_pos=jnp.asarray(
+            [int(env.agent_pos[0]), int(env.agent_pos[1])], dtype=jnp.int32
+        ),
+        agent_dir=jnp.asarray(int(env.agent_dir), dtype=jnp.int32),
+        carrying_obj=jnp.asarray(carrying_obj, dtype=jnp.uint8),
+        carrying_color=jnp.asarray(carrying_color, dtype=jnp.uint8),
+        carrying_contains_obj=jnp.asarray(carry_in_obj, dtype=jnp.uint8),
+        carrying_contains_color=jnp.asarray(carry_in_color, dtype=jnp.uint8),
+        step_count=jnp.asarray(int(env.step_count), dtype=jnp.int32),
+        terminated=jnp.asarray(False),
+        truncated=jnp.asarray(False),
+        aux=jnp.zeros((AUX_SLOTS,), dtype=jnp.int32),
+        mission=jnp.zeros((MISSION_SLOTS,), dtype=jnp.int32),
+        rng=rng,
+    )
+
+
+def params_from_reference(ref_env) -> EnvParams:
+    env = ref_env.unwrapped
+    return EnvParams(
+        width=env.width,
+        height=env.height,
+        max_steps=env.max_steps,
+        see_through_walls=env.see_through_walls,
+        agent_view_size=env.agent_view_size,
+    )
