@@ -5,14 +5,16 @@ the reference oracle."""
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
 os.environ.setdefault("SDL_VIDEODRIVER", "dummy")
 os.environ.setdefault("SDL_AUDIODRIVER", "dummy")
+
+# The container's sitecustomize force-registers the axon TPU backend and
+# re-exports JAX_PLATFORMS=axon, so env vars alone don't stick; the config
+# update after import does.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 
 REFERENCE_PATH = "/root/reference"
 if REFERENCE_PATH not in sys.path:
