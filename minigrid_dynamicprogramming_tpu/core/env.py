@@ -54,6 +54,7 @@ class Environment:
         pre_step: Optional[PreStepFn] = None,
         post_step: Optional[PostStepFn] = None,
         mission_text: Optional[MissionTextFn] = None,
+        action_map: Optional[Callable[[EnvParams, jnp.ndarray], jnp.ndarray]] = None,
         action_dim: int = 7,
         reward_range: Tuple[float, float] = (0.0, 1.0),
     ):
@@ -63,6 +64,7 @@ class Environment:
         self.pre_step = pre_step
         self.post_step = post_step
         self._mission_text = mission_text
+        self.action_map = action_map
         self.action_dim = action_dim
         self.reward_range = reward_range
 
@@ -76,6 +78,8 @@ class Environment:
     ) -> Tuple[Dict[str, jnp.ndarray], EnvState, jnp.ndarray, jnp.ndarray, jnp.ndarray, Dict]:
         params = self.params
         k_pre, k_post = jax.random.split(key)
+        if self.action_map is not None:
+            action = self.action_map(params, action)
         prev = state
         if self.pre_step is not None:
             state = self.pre_step(params, k_pre, state, action)

@@ -28,8 +28,9 @@ from flax import struct
 from minigrid_dynamicprogramming_tpu.core.constants import OBJ_EMPTY
 
 # Number of env-specific int32 scratch slots (target positions, phase flags,
-# per-episode constants like Memory's success position, ...).
-AUX_SLOTS = 8
+# per-episode constants like Memory's success position, DynamicObstacles'
+# obstacle coordinates, ...).
+AUX_SLOTS = 24
 # Mission code slots: [template_id, color_a, type_a, color_b, type_b, loc, ...]
 MISSION_SLOTS = 6
 

@@ -33,29 +33,143 @@ def registered_ids() -> list[str]:
     return sorted(_REGISTRY)
 
 
-def _register_all() -> None:
-    from minigrid_dynamicprogramming_tpu.envs.empty import make_empty
-    from minigrid_dynamicprogramming_tpu.envs.doorkey import make_doorkey
-    from minigrid_dynamicprogramming_tpu.envs.fourrooms import make_fourrooms
+def _reg(env_id: str, factory, **kwargs) -> None:
+    register(env_id, lambda: factory(env_id, **kwargs))
 
-    # Empty (reference __init__.py:165-201)
-    for size in (5, 6, 8, 16):
-        env_id = f"MiniGrid-Empty-{size}x{size}-v0"
-        register(env_id, lambda i=env_id, s=size: make_empty(i, size=s))
-    for size in (5, 6):
-        env_id = f"MiniGrid-Empty-Random-{size}x{size}-v0"
-        register(
-            env_id,
-            lambda i=env_id, s=size: make_empty(i, size=s, agent_start_pos=None),
+
+def _register_all() -> None:
+    """Mirror of the reference's MiniGrid-* registration table
+    (/root/reference/minigrid/__init__.py:23-690), same ids and kwargs."""
+    from minigrid_dynamicprogramming_tpu.envs.crossing import make_crossing
+    from minigrid_dynamicprogramming_tpu.envs.distshift import make_distshift
+    from minigrid_dynamicprogramming_tpu.envs.doorkey import make_doorkey
+    from minigrid_dynamicprogramming_tpu.envs.dynamicobstacles import (
+        make_dynamicobstacles,
+    )
+    from minigrid_dynamicprogramming_tpu.envs.empty import make_empty
+    from minigrid_dynamicprogramming_tpu.envs.fetch import make_fetch
+    from minigrid_dynamicprogramming_tpu.envs.fourrooms import make_fourrooms
+    from minigrid_dynamicprogramming_tpu.envs.gotodoor import make_gotodoor
+    from minigrid_dynamicprogramming_tpu.envs.gotoobject import make_gotoobject
+    from minigrid_dynamicprogramming_tpu.envs.lavagap import make_lavagap
+    from minigrid_dynamicprogramming_tpu.envs.lockedroom import make_lockedroom
+    from minigrid_dynamicprogramming_tpu.envs.memory import make_memory
+    from minigrid_dynamicprogramming_tpu.envs.playground import make_playground
+    from minigrid_dynamicprogramming_tpu.envs.putnear import make_putnear
+    from minigrid_dynamicprogramming_tpu.envs.redbluedoors import (
+        make_redbluedoors,
+    )
+
+    # Crossing (__init__.py:35-82)
+    for size, n in [(9, 1), (9, 2), (9, 3), (11, 5)]:
+        _reg(
+            f"MiniGrid-LavaCrossingS{size}N{n}-v0",
+            make_crossing,
+            size=size,
+            num_crossings=n,
+            obstacle="lava",
+        )
+        _reg(
+            f"MiniGrid-SimpleCrossingS{size}N{n}-v0",
+            make_crossing,
+            size=size,
+            num_crossings=n,
+            obstacle="wall",
         )
 
-    # DoorKey (reference __init__.py:100-125)
-    for size in (5, 6, 8, 16):
-        env_id = f"MiniGrid-DoorKey-{size}x{size}-v0"
-        register(env_id, lambda i=env_id, s=size: make_doorkey(i, size=s))
+    # DistShift (__init__.py:89-97)
+    _reg("MiniGrid-DistShift1-v0", make_distshift, strip2_row=2)
+    _reg("MiniGrid-DistShift2-v0", make_distshift, strip2_row=5)
 
-    # FourRooms (reference __init__.py: FourRooms-v0)
-    register("MiniGrid-FourRooms-v0", lambda: make_fourrooms("MiniGrid-FourRooms-v0"))
+    # DoorKey (__init__.py:104-124)
+    for size in (5, 6, 8, 16):
+        _reg(f"MiniGrid-DoorKey-{size}x{size}-v0", make_doorkey, size=size)
+
+    # DynamicObstacles (__init__.py:131-162)
+    _reg(
+        "MiniGrid-Dynamic-Obstacles-5x5-v0",
+        make_dynamicobstacles,
+        size=5,
+        n_obstacles=2,
+    )
+    _reg(
+        "MiniGrid-Dynamic-Obstacles-Random-5x5-v0",
+        make_dynamicobstacles,
+        size=5,
+        agent_start_pos=None,
+        n_obstacles=2,
+    )
+    _reg(
+        "MiniGrid-Dynamic-Obstacles-6x6-v0",
+        make_dynamicobstacles,
+        size=6,
+        n_obstacles=3,
+    )
+    _reg(
+        "MiniGrid-Dynamic-Obstacles-Random-6x6-v0",
+        make_dynamicobstacles,
+        size=6,
+        agent_start_pos=None,
+        n_obstacles=3,
+    )
+    _reg("MiniGrid-Dynamic-Obstacles-8x8-v0", make_dynamicobstacles, size=8)
+    _reg(
+        "MiniGrid-Dynamic-Obstacles-16x16-v0",
+        make_dynamicobstacles,
+        size=16,
+        n_obstacles=8,
+    )
+
+    # Empty (__init__.py:169-200)
+    for size in (5, 6, 8, 16):
+        _reg(f"MiniGrid-Empty-{size}x{size}-v0", make_empty, size=size)
+    for size in (5, 6):
+        _reg(
+            f"MiniGrid-Empty-Random-{size}x{size}-v0",
+            make_empty,
+            size=size,
+            agent_start_pos=None,
+        )
+
+    # Fetch (__init__.py:207-218)
+    _reg("MiniGrid-Fetch-5x5-N2-v0", make_fetch, size=5, num_objs=2)
+    _reg("MiniGrid-Fetch-6x6-N2-v0", make_fetch, size=6, num_objs=2)
+    _reg("MiniGrid-Fetch-8x8-N3-v0", make_fetch)
+
+    # FourRooms (__init__.py:224-226)
+    _reg("MiniGrid-FourRooms-v0", make_fourrooms)
+
+    # GoToDoor (__init__.py:232-245)
+    for size in (5, 6, 8):
+        _reg(f"MiniGrid-GoToDoor-{size}x{size}-v0", make_gotodoor, size=size)
+
+    # GoToObject (__init__.py:252-259)
+    _reg("MiniGrid-GoToObject-6x6-N2-v0", make_gotoobject)
+    _reg("MiniGrid-GoToObject-8x8-N2-v0", make_gotoobject, size=8, num_objs=2)
+
+    # LavaGap (__init__.py:305-319)
+    for size in (5, 6, 7):
+        _reg(f"MiniGrid-LavaGapS{size}-v0", make_lavagap, size=size)
+
+    # LockedRoom (__init__.py:326-328)
+    _reg("MiniGrid-LockedRoom-v0", make_lockedroom)
+
+    # Memory (__init__.py:334-366)
+    _reg("MiniGrid-MemoryS17Random-v0", make_memory, size=17, random_length=True)
+    _reg("MiniGrid-MemoryS13Random-v0", make_memory, size=13, random_length=True)
+    for size in (13, 11, 9, 7):
+        _reg(f"MiniGrid-MemoryS{size}-v0", make_memory, size=size)
+
+    # Playground (__init__.py)
+    _reg("MiniGrid-Playground-v0", make_playground)
+
+    # PutNear (__init__.py)
+    _reg("MiniGrid-PutNear-6x6-N2-v0", make_putnear)
+    _reg("MiniGrid-PutNear-8x8-N3-v0", make_putnear, size=8, num_objs=3)
+
+    # RedBlueDoors (__init__.py)
+    _reg("MiniGrid-RedBlueDoors-6x6-v0", make_redbluedoors, size=6)
+    _reg("MiniGrid-RedBlueDoors-8x8-v0", make_redbluedoors)
 
 
 _register_all()

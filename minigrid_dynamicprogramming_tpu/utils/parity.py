@@ -95,3 +95,55 @@ def params_from_reference(ref_env) -> EnvParams:
         see_through_walls=env.see_through_walls,
         agent_view_size=env.agent_view_size,
     )
+
+
+# --- per-family aux/mission snapshot --------------------------------------
+# Environment step hooks read episode constants (target positions, door
+# coordinates, ...) from ``state.aux``/``state.mission``; when snapshotting a
+# reference env for trajectory parity those slots must be filled from the
+# reference object's attributes.
+
+_TYPE_IDX = {"key": 5, "ball": 6, "box": 7}
+_COLOR_IDX = {
+    "red": 0, "green": 1, "blue": 2, "purple": 3, "yellow": 4, "grey": 5,
+}
+
+
+def aux_from_reference(ref_env, state: EnvState) -> EnvState:
+    env = ref_env.unwrapped
+    name = type(env).__name__
+    aux = np.zeros((AUX_SLOTS,), dtype=np.int32)
+    mission = np.zeros((MISSION_SLOTS,), dtype=np.int32)
+
+    if name == "FetchEnv":
+        aux[0] = _TYPE_IDX[env.targetType]
+        aux[1] = _COLOR_IDX[env.targetColor]
+    elif name == "GoToDoorEnv":
+        aux[0], aux[1] = int(env.target_pos[0]), int(env.target_pos[1])
+        mission[0] = _COLOR_IDX[env.target_color]
+    elif name == "GoToObjectEnv":
+        aux[0], aux[1] = int(env.target_pos[0]), int(env.target_pos[1])
+    elif name == "PutNearEnv":
+        aux[0] = _TYPE_IDX[env.move_type]
+        aux[1] = _COLOR_IDX[env.moveColor]
+        aux[2], aux[3] = int(env.target_pos[0]), int(env.target_pos[1])
+    elif name == "RedBlueDoorEnv":
+        size = env.size
+        for y in range(env.height):
+            cell = env.grid.get(size // 2, y)
+            if cell is not None and cell.type == "door":
+                aux[0], aux[1] = size // 2, y
+            cell = env.grid.get(size // 2 + size - 1, y)
+            if cell is not None and cell.type == "door":
+                aux[2], aux[3] = size // 2 + size - 1, y
+    elif name == "MemoryEnv":
+        aux[0], aux[1] = int(env.success_pos[0]), int(env.success_pos[1])
+        aux[2], aux[3] = int(env.failure_pos[0]), int(env.failure_pos[1])
+    elif name == "DynamicObstaclesEnv":
+        for i, ob in enumerate(env.obstacles):
+            aux[2 * i] = int(ob.cur_pos[0])
+            aux[2 * i + 1] = int(ob.cur_pos[1])
+
+    return state.replace(
+        aux=jnp.asarray(aux), mission=jnp.asarray(mission)
+    )

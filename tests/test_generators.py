@@ -1,0 +1,230 @@
+"""Structural property tests for the on-device procedural generators.
+
+Layout RNG streams differ from the reference (jax.random vs Gymnasium PCG64),
+so generation is validated by properties — the approach the reference's own
+ObstructedMaze solvability test takes (/root/reference/tests/test_obstructed_maze.py:30-47):
+wall topology, object counts, agent validity, and goal reachability.
+"""
+
+from __future__ import annotations
+
+from collections import deque
+
+import numpy as np
+import pytest
+
+import jax
+
+import minigrid_dynamicprogramming_tpu as mgtpu
+from minigrid_dynamicprogramming_tpu.core.constants import (
+    OBJ_BALL,
+    OBJ_DOOR,
+    OBJ_EMPTY,
+    OBJ_GOAL,
+    OBJ_KEY,
+    OBJ_LAVA,
+    OBJ_WALL,
+)
+
+BATCH = 32
+
+
+def reset_batch(env_id: str, batch: int = BATCH):
+    env = mgtpu.make(env_id)
+    keys = jax.random.split(jax.random.PRNGKey(42), batch)
+    state = jax.jit(jax.vmap(env.generate, in_axes=(0, None)), static_argnums=1)(
+        keys, env.params
+    )
+    return env, jax.tree_util.tree_map(np.asarray, state)
+
+
+def bfs_reachable(obj_plane, start, passable):
+    """Cells reachable from start moving 4-connected through passable(obj)."""
+    h, w = obj_plane.shape
+    seen = np.zeros((h, w), dtype=bool)
+    q = deque([tuple(start)])
+    seen[start[1], start[0]] = True
+    while q:
+        x, y = q.popleft()
+        for dx, dy in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+            nx, ny = x + dx, y + dy
+            if 0 <= nx < w and 0 <= ny < h and not seen[ny, nx]:
+                if passable(obj_plane[ny, nx]):
+                    seen[ny, nx] = True
+                    q.append((nx, ny))
+    return seen
+
+
+def common_checks(env, state):
+    h, w = env.params.height, env.params.width
+    B = state.grid_obj.shape[0]
+    for b in range(B):
+        ax, ay = state.agent_pos[b]
+        assert 0 <= ax < w and 0 <= ay < h, f"agent OOB {ax},{ay}"
+        assert 0 <= state.agent_dir[b] < 4
+        cell = state.grid_obj[b, ay, ax]
+        assert cell in (OBJ_EMPTY, OBJ_GOAL, 3), f"agent on {cell}"
+        assert state.step_count[b] == 0
+
+
+@pytest.mark.parametrize("env_id", sorted(mgtpu.registered_ids()))
+def test_generator_valid(env_id):
+    env, state = reset_batch(env_id)
+    common_checks(env, state)
+
+
+def test_doorkey_structure():
+    env, state = reset_batch("MiniGrid-DoorKey-8x8-v0")
+    for b in range(BATCH):
+        obj = state.grid_obj[b]
+        doors = np.argwhere(obj == OBJ_DOOR)
+        keys = np.argwhere(obj == OBJ_KEY)
+        goals = np.argwhere(obj == OBJ_GOAL)
+        assert len(doors) == 1 and len(keys) == 1 and len(goals) == 1
+        dy, dx = doors[0]
+        assert state.grid_state[b, dy, dx] == 2  # locked
+        assert state.grid_color[b, dy, dx] == 4  # yellow
+        # Wall column complete apart from the door.
+        col = obj[:, dx]
+        assert all(c in (OBJ_WALL, OBJ_DOOR) for c in col)
+        # Agent and key strictly left of the wall, goal right.
+        assert state.agent_pos[b][0] < dx
+        assert keys[0][1] < dx
+        assert goals[0][1] > dx
+        # Key reachable; goal reachable once the door opens.
+        reach = bfs_reachable(
+            obj, state.agent_pos[b], lambda o: o in (OBJ_EMPTY, OBJ_KEY)
+        )
+        assert reach[keys[0][0], keys[0][1]]
+        reach2 = bfs_reachable(
+            obj,
+            state.agent_pos[b],
+            lambda o: o in (OBJ_EMPTY, OBJ_KEY, OBJ_DOOR, OBJ_GOAL),
+        )
+        assert reach2[goals[0][0], goals[0][1]]
+
+
+@pytest.mark.parametrize(
+    "env_id",
+    [
+        "MiniGrid-LavaCrossingS9N1-v0",
+        "MiniGrid-LavaCrossingS9N3-v0",
+        "MiniGrid-LavaCrossingS11N5-v0",
+        "MiniGrid-SimpleCrossingS11N5-v0",
+    ],
+)
+def test_crossing_solvable(env_id):
+    env, state = reset_batch(env_id)
+    for b in range(BATCH):
+        obj = state.grid_obj[b]
+        reach = bfs_reachable(
+            obj, state.agent_pos[b], lambda o: o in (OBJ_EMPTY, OBJ_GOAL)
+        )
+        goals = np.argwhere(obj == OBJ_GOAL)
+        assert len(goals) == 1
+        assert reach[goals[0][0], goals[0][1]], f"{env_id} b={b} unsolvable"
+
+
+def test_lavagap_structure():
+    env, state = reset_batch("MiniGrid-LavaGapS7-v0")
+    for b in range(BATCH):
+        obj = state.grid_obj[b]
+        lava_cols = np.unique(np.argwhere(obj == OBJ_LAVA)[:, 1])
+        assert len(lava_cols) == 1
+        col = obj[1:-1, lava_cols[0]]
+        assert (col == OBJ_EMPTY).sum() == 1  # exactly one gap
+        reach = bfs_reachable(
+            obj, state.agent_pos[b], lambda o: o in (OBJ_EMPTY, OBJ_GOAL)
+        )
+        goals = np.argwhere(obj == OBJ_GOAL)
+        assert reach[goals[0][0], goals[0][1]]
+
+
+def test_fourrooms_structure():
+    env, state = reset_batch("MiniGrid-FourRooms-v0")
+    for b in range(BATCH):
+        obj = state.grid_obj[b]
+        reach = bfs_reachable(
+            obj, state.agent_pos[b], lambda o: o in (OBJ_EMPTY, OBJ_GOAL)
+        )
+        goals = np.argwhere(obj == OBJ_GOAL)
+        assert len(goals) == 1
+        assert reach[goals[0][0], goals[0][1]]
+
+
+def test_lockedroom_structure():
+    env, state = reset_batch("MiniGrid-LockedRoom-v0")
+    for b in range(BATCH):
+        obj = state.grid_obj[b]
+        doors = np.argwhere(obj == OBJ_DOOR)
+        assert len(doors) == 6
+        colors = [state.grid_color[b, y, x] for y, x in doors]
+        assert len(set(colors)) == 6
+        locked = [
+            (y, x) for y, x in doors if state.grid_state[b, y, x] == 2
+        ]
+        assert len(locked) == 1
+        keys = np.argwhere(obj == OBJ_KEY)
+        assert len(keys) == 1
+        ly, lx = locked[0]
+        assert state.grid_color[b, keys[0][0], keys[0][1]] == state.grid_color[
+            b, ly, lx
+        ]
+
+
+def test_gotodoor_structure():
+    env, state = reset_batch("MiniGrid-GoToDoor-8x8-v0")
+    for b in range(BATCH):
+        obj = state.grid_obj[b]
+        doors = np.argwhere(obj == OBJ_DOOR)
+        assert len(doors) == 4
+        colors = [state.grid_color[b, y, x] for y, x in doors]
+        assert len(set(colors)) == 4
+        # Target (aux) is one of the doors.
+        tx, ty = state.aux[b][0], state.aux[b][1]
+        assert obj[ty, tx] == OBJ_DOOR
+
+
+def test_dynamicobstacles_behavior():
+    env = mgtpu.make("MiniGrid-Dynamic-Obstacles-8x8-v0")
+    import jax.numpy as jnp
+
+    key = jax.random.PRNGKey(0)
+    obs, state = jax.jit(env.reset)(key)
+    assert int((np.asarray(state.grid_obj) == OBJ_BALL).sum()) == 4
+
+    step = jax.jit(env.step)
+    # Turn to face the wall above (left twice from dir 0 -> dir 2, left -> 3).
+    for a in (0, 0, 0):  # dir 0 -> 3 via three lefts
+        key, k = jax.random.split(key)
+        obs, state, r, term, trunc, _ = step(k, state, jnp.asarray(a))
+    assert int(state.agent_dir) == 1
+    # Face up then walk into the top wall: reward -1, terminated.
+    key, k = jax.random.split(key)
+    obs, state, r, term, trunc, _ = step(k, state, jnp.asarray(0))  # dir 0... left
+    assert int(state.agent_dir) == 0
+    # agent at (1,1) facing right; wall is up. Turn left once to face up.
+    key, k = jax.random.split(key)
+    obs, state, r, term, trunc, _ = step(k, state, jnp.asarray(0))
+    assert int(state.agent_dir) == 3
+    key, k = jax.random.split(key)
+    obs, state, r, term, trunc, _ = step(k, state, jnp.asarray(2))
+    assert bool(term) and float(r) == -1.0
+
+    # Obstacle conservation + bounded movement over a fresh rollout.
+    key = jax.random.PRNGKey(3)
+    obs, state = jax.jit(env.reset)(key)
+    prev_aux = np.asarray(state.aux)
+    for t in range(30):
+        key, k1, k2 = jax.random.split(key, 3)
+        a = jax.random.randint(k1, (), 0, 3)
+        obs, state, r, term, trunc, _ = step(k2, state, a)
+        if bool(term) or bool(trunc):
+            break
+        aux = np.asarray(state.aux)
+        assert int((np.asarray(state.grid_obj) == OBJ_BALL).sum()) == 4
+        for i in range(4):
+            dx = abs(aux[2 * i] - prev_aux[2 * i])
+            dy = abs(aux[2 * i + 1] - prev_aux[2 * i + 1])
+            assert dx <= 1 and dy <= 1
+        prev_aux = aux
