@@ -1,0 +1,236 @@
+"""MultiRoom (reference /root/reference/minigrid/envs/multiroom.py:18-281).
+
+A chain of connected rooms built by the reference with recursive backtracking
+(``_placeRoom``) inside an unbounded regenerate loop.  TPU-native redesign:
+
+* per room, the reference retries up to 8 iid (exit-wall, exit-pos, size,
+  offset) draws until one placement is valid — equivalently we draw all 8
+  candidates at once and take the first valid one (first-accept over iid
+  draws is distribution-identical);
+* the outer regenerate-until-full-length loop becomes a bounded number of
+  attempts keeping the longest chain (the reference loops forever;
+  failure to reach the target length within the budget is astronomically
+  rare for the registered configs and degrades to the best chain found,
+  exactly like the reference's intermediate states).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from minigrid_dynamicprogramming_tpu.core.constants import (
+    COLOR_GREEN,
+    COLOR_TO_IDX,
+    OBJ_DOOR,
+    OBJ_GOAL,
+    STATE_CLOSED,
+)
+from minigrid_dynamicprogramming_tpu.core.env import Environment
+from minigrid_dynamicprogramming_tpu.core.state import EnvParams, new_state
+from minigrid_dynamicprogramming_tpu.ops import grid as G
+
+MISSION = "traverse the rooms to get to the goal"
+SIZE = 25
+ATTEMPTS = 12
+TRIES_PER_ROOM = 8
+SORTED_COLOR_IDS = jnp.asarray(
+    [COLOR_TO_IDX[c] for c in sorted(COLOR_TO_IDX)], dtype=jnp.int32
+)
+
+
+def _attempt(key: jax.Array, n_max: int, min_sz: int, max_sz: int, num_rooms):
+    """One generation attempt: returns (tops, sizes, entries, count).
+
+    Rooms are built with a ``lax.scan``; per room the 8 retry draws of the
+    reference become one vectorized batch of candidates with first-accept.
+    """
+    k0, k_entry, k_loop = jax.random.split(key, 3)
+    # Room 0 (multiroom.py:_placeRoom first call): top = entryDoorPos drawn
+    # uniformly; size drawn; only the bounds check applies.
+    ex = jax.random.randint(k_entry, (2,), 0, SIZE - 2)
+    s0 = jax.random.randint(k0, (2,), min_sz, max_sz + 1)
+    ok0 = (ex[0] + s0[0] <= SIZE) & (ex[1] + s0[1] < SIZE)
+
+    tops = jnp.zeros((n_max, 2), jnp.int32).at[0].set(ex)
+    sizes = jnp.zeros((n_max, 2), jnp.int32).at[0].set(s0)
+    entries = jnp.zeros((n_max, 2), jnp.int32).at[0].set(ex)
+    count = jnp.where(ok0, 1, 0)
+    # entry wall of room 0 is 2 (left), per the reference's initial call.
+    entry_wall = jnp.asarray(2, jnp.int32)
+
+    T = TRIES_PER_ROOM
+
+    def room_body(carry, xs):
+        tops, sizes, entries, count, entry_wall, alive = carry
+        k_room, idx = xs
+        in_chain = alive & (idx < num_rooms)
+        prev_top = tops[idx - 1]
+        prev_size = sizes[idx - 1]
+
+        kw, kpx, kpy, ks, kox, koy = jax.random.split(k_room, 6)
+        # exitDoorWall: uniform over the 3 walls != entry wall, per try.
+        r = jax.random.randint(kw, (T,), 0, 3)
+        exit_wall = (entry_wall + 1 + r) % 4
+
+        # Exit-door position on that wall of the previous room.
+        rx = jax.random.randint(
+            kpx, (T,), 1, jnp.maximum(prev_size[0] - 1, 2)
+        )
+        ry = jax.random.randint(
+            kpy, (T,), 1, jnp.maximum(prev_size[1] - 1, 2)
+        )
+        exit_x = jnp.select(
+            [exit_wall == 0, exit_wall == 1, exit_wall == 2, exit_wall == 3],
+            [jnp.broadcast_to(prev_top[0] + prev_size[0] - 1, (T,)),
+             prev_top[0] + rx,
+             jnp.broadcast_to(prev_top[0], (T,)),
+             prev_top[0] + rx],
+        )
+        exit_y = jnp.select(
+            [exit_wall == 0, exit_wall == 1, exit_wall == 2, exit_wall == 3],
+            [prev_top[1] + ry,
+             jnp.broadcast_to(prev_top[1] + prev_size[1] - 1, (T,)),
+             prev_top[1] + ry,
+             jnp.broadcast_to(prev_top[1], (T,))],
+        )
+        next_entry_wall = (exit_wall + 2) % 4
+
+        # Child size and top (multiroom.py:_placeRoom top cases).
+        sz = jax.random.randint(ks, (T, 2), min_sz, max_sz + 1)
+        ox = jax.random.randint(kox, (T,), exit_x - sz[:, 0] + 2, exit_x)
+        oy = jax.random.randint(koy, (T,), exit_y - sz[:, 1] + 2, exit_y)
+        top_x = jnp.select(
+            [next_entry_wall == 0, next_entry_wall == 1,
+             next_entry_wall == 2, next_entry_wall == 3],
+            [exit_x - sz[:, 0] + 1, ox, exit_x, ox],
+        )
+        top_y = jnp.select(
+            [next_entry_wall == 0, next_entry_wall == 1,
+             next_entry_wall == 2, next_entry_wall == 3],
+            [oy, exit_y - sz[:, 1] + 1, oy, exit_y],
+        )
+
+        ok = (top_x >= 0) & (top_y >= 0)
+        ok &= (top_x + sz[:, 0] <= SIZE) & (top_y + sz[:, 1] < SIZE)
+        # Non-overlap vs all accepted rooms except the previous
+        # (multiroom.py: roomList[:-1]): (T, n_max) pairwise test.
+        active = jnp.arange(n_max) < (count - 1)  # (n_max,)
+        disjoint = (
+            (top_x[:, None] + sz[:, 0][:, None] < tops[None, :, 0])
+            | (tops[None, :, 0] + sizes[None, :, 0] <= top_x[:, None])
+            | (top_y[:, None] + sz[:, 1][:, None] < tops[None, :, 1])
+            | (tops[None, :, 1] + sizes[None, :, 1] <= top_y[:, None])
+        )
+        ok &= ((~active[None, :]) | disjoint).all(axis=1)
+
+        first = jnp.argmax(ok)  # first valid candidate
+        found = ok.any()
+        accept = in_chain & found
+
+        tops = tops.at[idx].set(
+            jnp.where(accept, jnp.stack([top_x[first], top_y[first]]), tops[idx])
+        )
+        sizes = sizes.at[idx].set(jnp.where(accept, sz[first], sizes[idx]))
+        entries = entries.at[idx].set(
+            jnp.where(
+                accept, jnp.stack([exit_x[first], exit_y[first]]), entries[idx]
+            )
+        )
+        entry_wall = jnp.where(accept, next_entry_wall[first], entry_wall)
+        count = count + accept.astype(jnp.int32)
+        alive = accept | (~in_chain & alive)
+        return (tops, sizes, entries, count, entry_wall, alive), None
+
+    keys = jax.random.split(k_loop, n_max - 1)
+    (tops, sizes, entries, count, _, _), _ = jax.lax.scan(
+        room_body,
+        (tops, sizes, entries, count, entry_wall, ok0),
+        (keys, jnp.arange(1, n_max)),
+    )
+    return tops, sizes, entries, count
+
+
+def make_multiroom(
+    env_id: str,
+    min_num_rooms: int,
+    max_num_rooms: int,
+    max_room_size: int = 10,
+) -> Environment:
+    params = EnvParams(
+        width=SIZE,
+        height=SIZE,
+        max_steps=max_num_rooms * 20,
+        see_through_walls=False,
+    )
+    n_max = max_num_rooms
+
+    def generate(key: jax.Array, p: EnvParams):
+        keys = jax.random.split(key, ATTEMPTS + 6)
+        num_rooms = jax.random.randint(
+            keys[0], (), min_num_rooms, max_num_rooms + 1
+        )
+        # Independent attempts in parallel; keep the first longest chain
+        # (the reference retries whole generations keeping the longest,
+        # multiroom.py:_gen_grid while loop).
+        a_keys = jnp.stack([keys[1 + a] for a in range(ATTEMPTS)])
+        tops_a, sizes_a, entries_a, count_a = jax.vmap(
+            _attempt, in_axes=(0, None, None, None, None)
+        )(a_keys, n_max, 4, max_room_size, num_rooms)
+        best_a = jnp.argmax(count_a)
+        tops, sizes, entries, count = (
+            tops_a[best_a], sizes_a[best_a], entries_a[best_a], count_a[best_a]
+        )
+
+        state = new_state(p.height, p.width, rng=keys[-1])
+        ys, xs = G.coord_grids(p.height, p.width)
+        # Draw room walls then entry doors, in room order (multiroom.py walls
+        # loop) — later rooms may overwrite earlier cells, as upstream.
+        door_keys = jax.random.split(keys[-2], n_max)
+        prev_color = jnp.asarray(-1, jnp.int32)
+        for idx in range(n_max):
+            active = idx < count
+            t, s = tops[idx], sizes[idx]
+            inside = (
+                (xs >= t[0]) & (xs < t[0] + s[0])
+                & (ys >= t[1]) & (ys < t[1] + s[1])
+            )
+            border = inside & (
+                (xs == t[0]) | (xs == t[0] + s[0] - 1)
+                | (ys == t[1]) | (ys == t[1] + s[1] - 1)
+            )
+            state = G.paint(state, border & active, 2, 5)
+            if idx > 0:
+                # Door color uniform over colors != previous door's color,
+                # iterating the sorted color list (multiroom.py doorColors).
+                n_opts = jnp.where(prev_color >= 0, 5, 6)
+                r = jax.random.randint(door_keys[idx], (), 0, n_opts)
+                color = jnp.asarray(0, jnp.int32)
+                seen = jnp.asarray(0, jnp.int32)
+                for cid in range(6):
+                    cand = SORTED_COLOR_IDS[cid]
+                    is_opt = cand != prev_color
+                    color = jnp.where(is_opt & (seen == r), cand, color)
+                    seen = seen + is_opt.astype(jnp.int32)
+                e = entries[idx]
+                new_state_ = G.put_obj(
+                    state, e[0], e[1], OBJ_DOOR, color, STATE_CLOSED
+                )
+                state = jax.tree_util.tree_map(
+                    lambda a_, b_: jnp.where(active, a_, b_), new_state_, state
+                )
+                prev_color = jnp.where(active, color, prev_color)
+
+        # Agent in the first room, goal in the last (multiroom.py:176-180).
+        first_rect = G.rect_mask(p.height, p.width, tops[0], sizes[0])
+        state, _ = G.place_agent(keys[-3], state, reject_mask=~first_rect)
+        last_idx = count - 1
+        last_top = tops[last_idx]
+        last_size = sizes[last_idx]
+        last_rect = G.rect_mask(p.height, p.width, last_top, last_size)
+        state, _, _ = G.place_obj(
+            keys[-4], state, OBJ_GOAL, COLOR_GREEN, reject_mask=~last_rect
+        )
+        return state
+
+    return Environment(env_id, params, generate, mission_text=lambda c: MISSION)

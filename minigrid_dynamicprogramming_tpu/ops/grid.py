@@ -171,6 +171,8 @@ def place_obj(
     """
     h, w = state.grid_obj.shape
     valid = free_cell_mask(state)
+    if top is None:
+        top = (0, 0)
     if size is not None or top != (0, 0):
         if size is None:
             size = (w, h)

@@ -1,0 +1,442 @@
+"""Functional RoomGrid scaffold.
+
+TPU-native re-derivation of ``minigrid.core.roomgrid.RoomGrid``
+(/root/reference/minigrid/core/roomgrid.py): a lattice of rooms at pitch
+``room_size - 1`` with per-edge door slots, plus the level-building verbs the
+env families compose — ``add_door``, ``remove_wall``, ``add_object`` /
+``place_in_room``, ``place_agent`` (in-room, not-facing-objects),
+``connect_all`` and ``add_distractors``.
+
+The reference threads a Python object graph (Room instances with
+``doors``/``neighbors``/``locked``); here the per-episode room topology is a
+tiny traced context (:class:`RoomCtx`) of (rows, cols, 4) arrays carried
+through generation, while room/row/col counts stay static.  Rejection loops
+become single categorical draws over validity masks (distribution-identical);
+``connect_all``'s data-dependent retry loop is the one place a bounded
+``lax.while_loop`` remains, mirroring roomgrid.py:363-393.
+
+Door-slot directions follow the reference: 0=right, 1=down, 2=left, 3=up.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from minigrid_dynamicprogramming_tpu.core.constants import (
+    DIR_TO_VEC_ARR,
+    OBJ_BALL,
+    OBJ_BOX,
+    OBJ_DOOR,
+    OBJ_EMPTY,
+    OBJ_KEY,
+    OBJ_WALL,
+    STATE_CLOSED,
+    STATE_LOCKED,
+)
+from minigrid_dynamicprogramming_tpu.core.state import EnvState
+from minigrid_dynamicprogramming_tpu.ops import grid as G
+
+# door_state codes (mirrors Room.doors: None / Door / True)
+EDGE_NONE = 0
+EDGE_DOOR = 1
+EDGE_OPEN = 2  # wall removed
+
+OBJ_KINDS = jnp.asarray([OBJ_KEY, OBJ_BALL, OBJ_BOX], dtype=jnp.int32)
+
+
+@struct.dataclass
+class RoomCtx:
+    """Traced per-episode room topology; (rows, cols, 4) unless noted."""
+
+    door_x: jnp.ndarray  # int32 — door-slot x per room edge
+    door_y: jnp.ndarray  # int32
+    has_edge: jnp.ndarray  # bool — neighbor exists (static content, traced dtype)
+    edge: jnp.ndarray  # int32 — EDGE_NONE/DOOR/OPEN
+    locked: jnp.ndarray  # (rows, cols) bool
+    used: jnp.ndarray  # (3, 6) bool — (kind, color) combos already placed
+
+
+def room_top(room_size: int, i, j) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    pitch = room_size - 1
+    return jnp.asarray(i) * pitch, jnp.asarray(j) * pitch
+
+
+def init(
+    key: jax.Array, state: EnvState, room_size: int, rows: int, cols: int
+) -> Tuple[EnvState, RoomCtx]:
+    """Build the wall lattice and sample per-edge door slots
+    (roomgrid.py:123-179); agent starts centered in the middle room."""
+    h, w = state.grid_obj.shape
+    pitch = room_size - 1
+    ys, xs = G.coord_grids(h, w)
+    lattice = (xs % pitch == 0) | (ys % pitch == 0)
+    state = G.paint(state, lattice, OBJ_WALL, 5)
+
+    keys = jax.random.split(key, 2)
+    # Right-edge door y in [top+1, top+room_size-1); down-edge door x same.
+    ky_flat = jax.random.split(keys[0], rows * cols * 2)
+    ky = lambda j, i, s: ky_flat[(j * cols + i) * 2 + s]
+    door_x = jnp.zeros((rows, cols, 4), dtype=jnp.int32)
+    door_y = jnp.zeros((rows, cols, 4), dtype=jnp.int32)
+    has_edge = jnp.zeros((rows, cols, 4), dtype=bool)
+    for j in range(rows):
+        for i in range(cols):
+            tx, ty = i * pitch, j * pitch
+            if i < cols - 1:
+                y = jax.random.randint(
+                    ky(j, i, 0), (), ty + 1, ty + room_size - 1
+                )
+                door_x = door_x.at[j, i, 0].set(tx + room_size - 1)
+                door_y = door_y.at[j, i, 0].set(y)
+                has_edge = has_edge.at[j, i, 0].set(True)
+            if j < rows - 1:
+                x = jax.random.randint(
+                    ky(j, i, 1), (), tx + 1, tx + room_size - 1
+                )
+                door_x = door_x.at[j, i, 1].set(x)
+                door_y = door_y.at[j, i, 1].set(ty + room_size - 1)
+                has_edge = has_edge.at[j, i, 1].set(True)
+    # Left/up mirror the neighbor's right/down slots (roomgrid.py:168-175).
+    for j in range(rows):
+        for i in range(cols):
+            if i > 0:
+                door_x = door_x.at[j, i, 2].set(door_x[j, i - 1, 0])
+                door_y = door_y.at[j, i, 2].set(door_y[j, i - 1, 0])
+                has_edge = has_edge.at[j, i, 2].set(True)
+            if j > 0:
+                door_x = door_x.at[j, i, 3].set(door_x[j - 1, i, 1])
+                door_y = door_y.at[j, i, 3].set(door_y[j - 1, i, 1])
+                has_edge = has_edge.at[j, i, 3].set(True)
+
+    state = state.replace(
+        agent_pos=jnp.asarray(
+            [
+                (cols // 2) * pitch + room_size // 2,
+                (rows // 2) * pitch + room_size // 2,
+            ],
+            dtype=jnp.int32,
+        ),
+        agent_dir=jnp.asarray(0, dtype=jnp.int32),
+    )
+    ctx = RoomCtx(
+        door_x=door_x,
+        door_y=door_y,
+        has_edge=has_edge,
+        edge=jnp.zeros((rows, cols, 4), dtype=jnp.int32),
+        locked=jnp.zeros((rows, cols), dtype=bool),
+        used=jnp.zeros((3, 6), dtype=bool),
+    )
+    return state, ctx
+
+
+def _neighbor(rows: int, cols: int, i, j, k):
+    """Room on the other side of edge k, clipped (callers guard has_edge)."""
+    di = jnp.asarray([1, 0, -1, 0], dtype=jnp.int32)[k]
+    dj = jnp.asarray([0, 1, 0, -1], dtype=jnp.int32)[k]
+    ni = jnp.clip(jnp.asarray(i) + di, 0, cols - 1)
+    nj = jnp.clip(jnp.asarray(j) + dj, 0, rows - 1)
+    return ni, nj
+
+
+def set_edge(ctx: RoomCtx, i, j, k, value) -> RoomCtx:
+    rows, cols = ctx.locked.shape
+    ni, nj = _neighbor(rows, cols, i, j, k)
+    edge = ctx.edge.at[j, i, k].set(value)
+    edge = edge.at[nj, ni, (jnp.asarray(k) + 2) % 4].set(value)
+    return ctx.replace(edge=edge)
+
+
+def mark_used(ctx: RoomCtx, kind, color) -> RoomCtx:
+    """Record a placed (kind, color) combo for all_unique distractor dedup."""
+    kind_idx = jnp.argmax(OBJ_KINDS == jnp.asarray(kind, jnp.int32))
+    return ctx.replace(used=ctx.used.at[kind_idx, color].set(True))
+
+
+def add_door(
+    key: jax.Array,
+    state: EnvState,
+    ctx: RoomCtx,
+    i,
+    j,
+    door_idx=None,
+    color=None,
+    locked=None,
+) -> Tuple[EnvState, RoomCtx, Tuple[jnp.ndarray, jnp.ndarray], jnp.ndarray, jnp.ndarray]:
+    """roomgrid.py:230-274. Returns (state, ctx, (x, y), color, locked)."""
+    rows, cols = ctx.locked.shape
+    k_idx, k_color, k_locked = jax.random.split(key, 3)
+    if door_idx is None:
+        # Random edge with a neighbor and no door yet.
+        avail = ctx.has_edge[j, i] & (ctx.edge[j, i] == EDGE_NONE)
+        logits = jnp.where(avail, 0.0, -jnp.inf)
+        door_idx = jax.random.categorical(k_idx, logits)
+    if color is None:
+        color = jax.random.randint(k_color, (), 0, 6)
+    if locked is None:
+        locked = jax.random.randint(k_locked, (), 0, 2) == 0
+    locked = jnp.asarray(locked)
+    x = ctx.door_x[j, i, door_idx]
+    y = ctx.door_y[j, i, door_idx]
+    state = G.put_obj(
+        state,
+        x,
+        y,
+        OBJ_DOOR,
+        color,
+        jnp.where(locked, STATE_LOCKED, STATE_CLOSED),
+    )
+    ctx = set_edge(ctx, i, j, door_idx, EDGE_DOOR)
+    ctx = ctx.replace(locked=ctx.locked.at[j, i].set(locked))
+    return state, ctx, (x, y), jnp.asarray(color), door_idx
+
+
+def remove_wall(
+    state: EnvState, ctx: RoomCtx, room_size: int, i: int, j: int, wall_idx: int
+) -> Tuple[EnvState, RoomCtx]:
+    """roomgrid.py:276-311 — clear the interior segment of one room wall.
+    Room indices are static here (all callers use literals)."""
+    tx, ty = room_top(room_size, i, j)
+    h, w = state.grid_obj.shape
+    ys, xs = G.coord_grids(h, w)
+    if wall_idx == 0:
+        m = (xs == tx + room_size - 1) & (ys > ty) & (ys < ty + room_size - 1)
+    elif wall_idx == 1:
+        m = (ys == ty + room_size - 1) & (xs > tx) & (xs < tx + room_size - 1)
+    elif wall_idx == 2:
+        m = (xs == tx) & (ys > ty) & (ys < ty + room_size - 1)
+    else:
+        m = (ys == ty) & (xs > tx) & (xs < tx + room_size - 1)
+    state = G.paint(state, m, OBJ_EMPTY, 0)
+    ctx = set_edge(ctx, i, j, wall_idx, EDGE_OPEN)
+    return state, ctx
+
+
+def room_rect_mask(state: EnvState, room_size: int, i, j) -> jnp.ndarray:
+    h, w = state.grid_obj.shape
+    tx, ty = room_top(room_size, i, j)
+    return G.rect_mask(h, w, (tx, ty), (room_size, room_size))
+
+
+def reject_next_to_mask(state: EnvState) -> jnp.ndarray:
+    """Cells with manhattan distance < 2 from the agent (roomgrid.py:11-20)."""
+    h, w = state.grid_obj.shape
+    ys, xs = G.coord_grids(h, w)
+    d = jnp.abs(xs - state.agent_pos[0]) + jnp.abs(ys - state.agent_pos[1])
+    return d < 2
+
+
+def place_in_room(
+    key: jax.Array,
+    state: EnvState,
+    ctx: RoomCtx,
+    room_size: int,
+    i,
+    j,
+    kind,
+    color,
+    contains_obj: int = OBJ_EMPTY,
+    contains_color: int = 0,
+):
+    """roomgrid.py:181-205. Returns (state, ctx, (x, y), ok)."""
+    mask = room_rect_mask(state, room_size, i, j)
+    state, pos, ok = G.place_obj(
+        key,
+        state,
+        kind,
+        color,
+        top=None,
+        size=None,
+        reject_mask=(~mask) | reject_next_to_mask(state),
+        contains_obj=contains_obj,
+        contains_color=contains_color,
+    )
+    ctx = mark_used(ctx, kind, color)
+    return state, ctx, pos, ok
+
+
+def add_object(
+    key: jax.Array,
+    state: EnvState,
+    ctx: RoomCtx,
+    room_size: int,
+    i,
+    j,
+    kind=None,
+    color=None,
+):
+    """roomgrid.py:207-228. Returns (state, ctx, (x, y), kind, color)."""
+    k_kind, k_color, k_place = jax.random.split(key, 3)
+    if kind is None:
+        kind = OBJ_KINDS[jax.random.randint(k_kind, (), 0, 3)]
+    if color is None:
+        color = jax.random.randint(k_color, (), 0, 6)
+    state, ctx, pos, _ = place_in_room(
+        k_place, state, ctx, room_size, i, j, kind, color
+    )
+    return state, ctx, pos, jnp.asarray(kind), jnp.asarray(color)
+
+
+def place_agent(
+    key: jax.Array,
+    state: EnvState,
+    room_size: int,
+    i=None,
+    j=None,
+    rows: int = 1,
+    cols: int = 1,
+) -> EnvState:
+    """roomgrid.py:313-334: uniform over (cell, dir) pairs within the room
+    whose front cell is empty or wall — the joint form of the reference's
+    resample-until loop."""
+    k_room, k_pick = jax.random.split(key)
+    if i is None or j is None:
+        ki, kj = jax.random.split(k_room)
+        if i is None:
+            i = jax.random.randint(ki, (), 0, cols)
+        if j is None:
+            j = jax.random.randint(kj, (), 0, rows)
+    h, w = state.grid_obj.shape
+    in_room = room_rect_mask(state, room_size, i, j)
+    empty = state.grid_obj == OBJ_EMPTY
+    from minigrid_dynamicprogramming_tpu.core.constants import DIR_TO_VEC
+
+    valid_dirs = []
+    for d in range(4):
+        dx, dy = int(DIR_TO_VEC[d][0]), int(DIR_TO_VEC[d][1])
+        front = jnp.roll(state.grid_obj, shift=(-dy, -dx), axis=(0, 1))
+        valid_dirs.append(
+            in_room & empty & ((front == OBJ_EMPTY) | (front == OBJ_WALL))
+        )
+    valid = jnp.stack(valid_dirs)  # (4, H, W)
+    logits = jnp.where(valid.reshape(-1), 0.0, -jnp.inf)
+    idx = jax.random.categorical(k_pick, logits)
+    d, rem = idx // (h * w), idx % (h * w)
+    y, x = rem // w, rem % w
+    return state.replace(
+        agent_pos=jnp.stack([x, y]).astype(jnp.int32),
+        agent_dir=d.astype(jnp.int32),
+    )
+
+
+def connect_all(
+    key: jax.Array,
+    state: EnvState,
+    ctx: RoomCtx,
+    room_size: int,
+    max_itrs: int = 256,
+) -> Tuple[EnvState, RoomCtx]:
+    """roomgrid.py:336-394 — repeatedly add random unlocked doors until every
+    room is reachable from the agent's start room.  Bounded ``while_loop``
+    with the same draw/skip structure."""
+    rows, cols = ctx.locked.shape
+    pitch = room_size - 1
+    start_i = state.agent_pos[0] // pitch
+    start_j = state.agent_pos[1] // pitch
+
+    def reachable(edge):
+        reach = jnp.zeros((rows, cols), dtype=bool).at[start_j, start_i].set(True)
+        for _ in range(rows * cols):
+            grown = reach
+            # right/down/left/up propagation through open edges
+            grown = grown | (
+                jnp.roll(reach & (edge[:, :, 0] > 0), 1, axis=1)
+                & (jnp.arange(cols)[None, :] > 0)
+            )
+            grown = grown | (
+                jnp.roll(reach & (edge[:, :, 1] > 0), 1, axis=0)
+                & (jnp.arange(rows)[:, None] > 0)
+            )
+            grown = grown | (
+                jnp.roll(reach & (edge[:, :, 2] > 0), -1, axis=1)
+                & (jnp.arange(cols)[None, :] < cols - 1)
+            )
+            grown = grown | (
+                jnp.roll(reach & (edge[:, :, 3] > 0), -1, axis=0)
+                & (jnp.arange(rows)[:, None] < rows - 1)
+            )
+            reach = grown
+        return reach
+
+    def cond(carry):
+        state, ctx, key, it = carry
+        return (~reachable(ctx.edge).all()) & (it < max_itrs)
+
+    def body(carry):
+        state, ctx, key, it = carry
+        key, k_i, k_j, k_k, k_c = jax.random.split(key, 5)
+        i = jax.random.randint(k_i, (), 0, cols)
+        j = jax.random.randint(k_j, (), 0, rows)
+        k = jax.random.randint(k_k, (), 0, 4)
+        ni, nj = _neighbor(rows, cols, i, j, k)
+        ok = (
+            ctx.has_edge[j, i, k]
+            & (ctx.edge[j, i, k] == EDGE_NONE)
+            & (~ctx.locked[j, i])
+            & (~ctx.locked[nj, ni])
+        )
+        color = jax.random.randint(k_c, (), 0, 6)
+        new_state = G.put_obj(
+            state,
+            ctx.door_x[j, i, k],
+            ctx.door_y[j, i, k],
+            OBJ_DOOR,
+            color,
+            STATE_CLOSED,
+        )
+        new_ctx = set_edge(ctx, i, j, k, EDGE_DOOR)
+        state = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(ok, a, b), new_state, state
+        )
+        ctx = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(ok, a, b), new_ctx, ctx
+        )
+        return state, ctx, key, it + 1
+
+    state, ctx, _, _ = jax.lax.while_loop(
+        cond, body, (state, ctx, key, jnp.asarray(0, jnp.int32))
+    )
+    return state, ctx
+
+
+def add_distractors(
+    key: jax.Array,
+    state: EnvState,
+    ctx: RoomCtx,
+    room_size: int,
+    rows: int,
+    cols: int,
+    i=None,
+    j=None,
+    num_distractors: int = 10,
+    all_unique: bool = True,
+):
+    """roomgrid.py:396-438. Returns (state, ctx, kinds, colors) with the
+    distractor descriptors as (num,) arrays."""
+    kinds = jnp.zeros((num_distractors,), jnp.int32)
+    colors = jnp.zeros((num_distractors,), jnp.int32)
+    keys = jax.random.split(key, num_distractors)
+    for n in range(num_distractors):
+        k_combo, k_i, k_j, k_place = jax.random.split(keys[n], 4)
+        if all_unique:
+            # Uniform draw over unused (kind, color) combos == the
+            # reference's retry-until-unused loop.
+            logits = jnp.where(ctx.used.reshape(-1), -jnp.inf, 0.0)
+            combo = jax.random.categorical(k_combo, logits)
+            kind = OBJ_KINDS[combo // 6]
+            color = (combo % 6).astype(jnp.int32)
+        else:
+            kk, kc = jax.random.split(k_combo)
+            kind = OBJ_KINDS[jax.random.randint(kk, (), 0, 3)]
+            color = jax.random.randint(kc, (), 0, 6)
+        ri = jax.random.randint(k_i, (), 0, cols) if i is None else i
+        rj = jax.random.randint(k_j, (), 0, rows) if j is None else j
+        state, ctx, _, _ = place_in_room(
+            k_place, state, ctx, room_size, ri, rj, kind, color
+        )
+        kinds = kinds.at[n].set(jnp.asarray(kind, jnp.int32))
+        colors = colors.at[n].set(color)
+    return state, ctx, kinds, colors

@@ -171,5 +171,113 @@ def _register_all() -> None:
     _reg("MiniGrid-RedBlueDoors-6x6-v0", make_redbluedoors, size=6)
     _reg("MiniGrid-RedBlueDoors-8x8-v0", make_redbluedoors)
 
+    from minigrid_dynamicprogramming_tpu.envs.keycorridor import (
+        make_keycorridor,
+    )
+    from minigrid_dynamicprogramming_tpu.envs.multiroom import make_multiroom
+    from minigrid_dynamicprogramming_tpu.envs.obstructedmaze import (
+        make_obstructedmaze_1d,
+        make_obstructedmaze_full,
+    )
+    from minigrid_dynamicprogramming_tpu.envs.unlock import (
+        make_blockedunlockpickup,
+        make_unlock,
+        make_unlockpickup,
+    )
+
+    # KeyCorridor (__init__.py:266-298)
+    for rs, nr in [(3, 1), (3, 2), (3, 3), (4, 3), (5, 3), (6, 3)]:
+        _reg(
+            f"MiniGrid-KeyCorridorS{rs}R{nr}-v0",
+            make_keycorridor,
+            room_size=rs,
+            num_rows=nr,
+        )
+
+    # MultiRoom (__init__.py:373-389 — N4-S5 really registers 6 rooms)
+    _reg(
+        "MiniGrid-MultiRoom-N2-S4-v0",
+        make_multiroom,
+        min_num_rooms=2,
+        max_num_rooms=2,
+        max_room_size=4,
+    )
+    _reg(
+        "MiniGrid-MultiRoom-N4-S5-v0",
+        make_multiroom,
+        min_num_rooms=6,
+        max_num_rooms=6,
+        max_room_size=5,
+    )
+    _reg(
+        "MiniGrid-MultiRoom-N6-v0",
+        make_multiroom,
+        min_num_rooms=6,
+        max_num_rooms=6,
+    )
+
+    # ObstructedMaze (__init__.py:394-520)
+    _reg(
+        "MiniGrid-ObstructedMaze-1Dl-v0",
+        make_obstructedmaze_1d,
+        key_in_box=False,
+        blocked=False,
+    )
+    _reg(
+        "MiniGrid-ObstructedMaze-1Dlh-v0",
+        make_obstructedmaze_1d,
+        key_in_box=True,
+        blocked=False,
+    )
+    _reg(
+        "MiniGrid-ObstructedMaze-1Dlhb-v0",
+        make_obstructedmaze_1d,
+        key_in_box=True,
+        blocked=True,
+    )
+    for ver in ("v0", "v1"):
+        v1 = ver == "v1"
+        if not v1:
+            _reg(
+                "MiniGrid-ObstructedMaze-2Dl-v0",
+                make_obstructedmaze_full,
+                agent_room=(2, 1), key_in_box=False, blocked=False,
+                num_quarters=1, num_rooms_visited=4,
+            )
+            _reg(
+                "MiniGrid-ObstructedMaze-2Dlh-v0",
+                make_obstructedmaze_full,
+                agent_room=(2, 1), key_in_box=True, blocked=False,
+                num_quarters=1, num_rooms_visited=4,
+            )
+        _reg(
+            f"MiniGrid-ObstructedMaze-2Dlhb-{ver}",
+            make_obstructedmaze_full,
+            agent_room=(2, 1), key_in_box=True, blocked=True,
+            num_quarters=1, num_rooms_visited=4, v1=v1,
+        )
+        _reg(
+            f"MiniGrid-ObstructedMaze-1Q-{ver}",
+            make_obstructedmaze_full,
+            agent_room=(1, 1), key_in_box=True, blocked=True,
+            num_quarters=1, num_rooms_visited=5, v1=v1,
+        )
+        _reg(
+            f"MiniGrid-ObstructedMaze-2Q-{ver}",
+            make_obstructedmaze_full,
+            agent_room=(2, 1), key_in_box=True, blocked=True,
+            num_quarters=2, num_rooms_visited=11, v1=v1,
+        )
+        _reg(
+            f"MiniGrid-ObstructedMaze-Full-{ver}",
+            make_obstructedmaze_full,
+            v1=v1,
+        )
+
+    # Unlock family (__init__.py:28-30, 184, 190-192)
+    _reg("MiniGrid-Unlock-v0", make_unlock)
+    _reg("MiniGrid-UnlockPickup-v0", make_unlockpickup)
+    _reg("MiniGrid-BlockedUnlockPickup-v0", make_blockedunlockpickup)
+
 
 _register_all()

@@ -143,6 +143,21 @@ def aux_from_reference(ref_env, state: EnvState) -> EnvState:
         for i, ob in enumerate(env.obstacles):
             aux[2 * i] = int(ob.cur_pos[0])
             aux[2 * i + 1] = int(ob.cur_pos[1])
+    elif name == "UnlockEnv":
+        aux[0] = int(env.door.cur_pos[0])
+        aux[1] = int(env.door.cur_pos[1])
+    elif name in (
+        "KeyCorridorEnv",
+        "UnlockPickupEnv",
+        "BlockedUnlockPickupEnv",
+        "ObstructedMaze_1Dlhb",
+        "ObstructedMaze_Full",
+        "ObstructedMaze_2Dl",
+        "ObstructedMaze_2Dlh",
+        "ObstructedMaze_2Dlhb",
+    ):
+        aux[0] = _TYPE_IDX[env.obj.type]
+        aux[1] = _COLOR_IDX[env.obj.color]
 
     return state.replace(
         aux=jnp.asarray(aux), mission=jnp.asarray(mission)
