@@ -29,10 +29,12 @@ from minigrid_dynamicprogramming_tpu.core.constants import OBJ_EMPTY
 
 # Number of env-specific int32 scratch slots (target positions, phase flags,
 # per-episode constants like Memory's success position, DynamicObstacles'
-# obstacle coordinates, ...).
+# obstacle coordinates, BabyAI verifier state, ...).
 AUX_SLOTS = 24
-# Mission code slots: [template_id, color_a, type_a, color_b, type_b, loc, ...]
-MISSION_SLOTS = 6
+# Mission code slots.  MiniGrid envs use the first few
+# ([template_id, color_a, type_a, ...]); BabyAI levels store the full
+# flattened instruction tree (see envs/babyai/core.py for the layout).
+MISSION_SLOTS = 24
 
 
 @struct.dataclass
@@ -45,12 +47,23 @@ class EnvState:
     contains_obj: jnp.ndarray  # (H, W) uint8 — box contents type (OBJ_EMPTY = none)
     contains_color: jnp.ndarray  # (H, W) uint8
 
+    # Object-identity bit planes: bit k marks cells holding an object tracked
+    # by descriptor slot k (the TPU form of the BabyAI verifier's
+    # ``ObjDesc.obj_set`` identity sets, verifier.py:104-169).  ``marks``
+    # follows objects through pickup/drop (ground-truth identity);
+    # ``vmarks`` is the position snapshot the verifier actually checks,
+    # refreshed from ``marks`` on reset and on drop actions only
+    # (roomgrid_level.py:89-91).
+    marks: jnp.ndarray  # (H, W) uint8
+    vmarks: jnp.ndarray  # (H, W) uint8
+
     agent_pos: jnp.ndarray  # (2,) int32 — (x, y)
     agent_dir: jnp.ndarray  # () int32
     carrying_obj: jnp.ndarray  # () uint8 — OBJ_EMPTY = nothing
     carrying_color: jnp.ndarray  # () uint8
     carrying_contains_obj: jnp.ndarray  # () uint8 — contents if carrying a box
     carrying_contains_color: jnp.ndarray  # () uint8
+    carrying_marks: jnp.ndarray  # () uint8 — identity bits of the carried obj
 
     step_count: jnp.ndarray  # () int32
     terminated: jnp.ndarray  # () bool
@@ -76,12 +89,15 @@ def new_state(
         grid_state=jnp.zeros((height, width), dtype=u8),
         contains_obj=jnp.full((height, width), OBJ_EMPTY, dtype=u8),
         contains_color=jnp.zeros((height, width), dtype=u8),
+        marks=jnp.zeros((height, width), dtype=u8),
+        vmarks=jnp.zeros((height, width), dtype=u8),
         agent_pos=jnp.array([-1, -1], dtype=jnp.int32),
         agent_dir=jnp.array(-1, dtype=jnp.int32),
         carrying_obj=jnp.array(OBJ_EMPTY, dtype=u8),
         carrying_color=jnp.array(0, dtype=u8),
         carrying_contains_obj=jnp.array(OBJ_EMPTY, dtype=u8),
         carrying_contains_color=jnp.array(0, dtype=u8),
+        carrying_marks=jnp.array(0, dtype=u8),
         step_count=jnp.array(0, dtype=jnp.int32),
         terminated=jnp.array(False),
         truncated=jnp.array(False),

@@ -1,0 +1,135 @@
+"""RoomGridLevel machinery: masked regeneration + reachability validation.
+
+TPU form of ``RoomGridLevel._gen_grid``'s regenerate-on-reject loop
+(/root/reference/minigrid/envs/babyai/core/roomgrid_level.py:118-139): each
+level's ``gen_mission`` is a pure function returning an ``ok`` flag instead
+of raising ``RejectSampling``, and a bounded ``lax.while_loop`` redraws the
+whole episode until valid — the same distribution as the reference's loop
+(conditioned on acceptance), without exceptions under jit.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from minigrid_dynamicprogramming_tpu.core.constants import (
+    OBJ_DOOR,
+    OBJ_EMPTY,
+    OBJ_WALL,
+)
+from minigrid_dynamicprogramming_tpu.core.env import Environment
+from minigrid_dynamicprogramming_tpu.core.state import EnvParams, EnvState, new_state
+from minigrid_dynamicprogramming_tpu.envs.babyai import core as B
+from minigrid_dynamicprogramming_tpu.ops import roomgrid as rg
+
+# gen_mission(key, params, state, ctx) -> (state, codes, ok)
+GenMissionFn = Callable
+
+
+def objs_reachable(state: EnvState) -> jnp.ndarray:
+    """Device flood-fill of ``check_objs_reachable``
+    (roomgrid_level.py:249-301): flood from the agent through empty/door
+    cells; every object cell (anything but wall) must be visited."""
+    obj = state.grid_obj
+    h, w = obj.shape
+    passable = (obj == OBJ_EMPTY) | (obj == OBJ_DOOR)
+    ys = jnp.arange(h)[:, None]
+    xs = jnp.arange(w)[None, :]
+    reach0 = (xs == state.agent_pos[0]) & (ys == state.agent_pos[1])
+
+    def body(_, reach):
+        src = reach & passable
+        grown = reach
+        grown = grown | jnp.pad(src[1:], ((0, 1), (0, 0)))
+        grown = grown | jnp.pad(src[:-1], ((1, 0), (0, 0)))
+        grown = grown | jnp.pad(src[:, 1:], ((0, 0), (0, 1)))
+        grown = grown | jnp.pad(src[:, :-1], ((0, 0), (1, 0)))
+        return grown
+
+    reach = jax.lax.fori_loop(0, (h * w) // 2 + 2, body, reach0)
+    is_obj = (obj != OBJ_EMPTY) & (obj != OBJ_WALL)
+    return jnp.all(~is_obj | reach)
+
+
+def open_all_doors(state: EnvState) -> EnvState:
+    """roomgrid_level.py:237-247."""
+    is_door = state.grid_obj == OBJ_DOOR
+    return state.replace(
+        grid_state=jnp.where(is_door, jnp.uint8(0), state.grid_state)
+    )
+
+
+def make_level(
+    env_id: str,
+    gen_mission: GenMissionFn,
+    room_size: int = 8,
+    num_rows: int = 3,
+    num_cols: int = 3,
+    max_steps: Optional[int] = None,
+    max_tries: int = 24,
+    agent_view_size: int = 7,
+) -> Environment:
+    """Build an :class:`Environment` for one BabyAI level."""
+    width = (room_size - 1) * num_cols + 1
+    height = (room_size - 1) * num_rows + 1
+    params = EnvParams(
+        width=width,
+        height=height,
+        # Static cap used only when fixed; the live per-episode limit sits in
+        # aux[AUX_MAX_STEPS] (roomgrid_level.py:76-83).
+        max_steps=max_steps if max_steps is not None else 8 * room_size**2,
+        see_through_walls=False,
+        agent_view_size=agent_view_size,
+    ).with_extra(
+        room_size=room_size,
+        num_rows=num_rows,
+        num_cols=num_cols,
+        fixed_max_steps=max_steps is not None,
+        dynamic_max_steps_slot=B.AUX_MAX_STEPS,
+    )
+
+    def attempt(key: jax.Array, p: EnvParams):
+        k_state, k_init, k_mission = jax.random.split(key, 3)
+        state = new_state(p.height, p.width, rng=k_state)
+        state, ctx = rg.init(k_init, state, room_size, num_rows, num_cols)
+        state, codes, ok = gen_mission(k_mission, p, state, ctx)
+        state = B.init_instr(p, state, codes)
+        return state, ok
+
+    def generate(key: jax.Array, p: EnvParams) -> EnvState:
+        # The attempt body is traced exactly once (inside the loop); the
+        # init value is a zeros pytree of the right structure.
+        shapes = jax.eval_shape(lambda k: attempt(k, p)[0], key)
+        state0 = jax.tree_util.tree_map(
+            lambda s: jnp.zeros(s.shape, s.dtype), shapes
+        )
+
+        def cond(c):
+            _, ok, _, it = c
+            return (~ok) & (it < max_tries)
+
+        def body(c):
+            _, _, key, it = c
+            key, k = jax.random.split(key)
+            state, ok = attempt(k, p)
+            return state, ok, key, it + 1
+
+        state, _, _, _ = jax.lax.while_loop(
+            cond,
+            body,
+            (state0, jnp.asarray(False), key, jnp.asarray(0, jnp.int32)),
+        )
+        return state
+
+    return Environment(
+        env_id,
+        params,
+        generate,
+        post_step=lambda p, k, prev, new, a, r, t: B.verify_step(
+            p, k, prev, new, a, r, t
+        ),
+        mission_text=B.surface_text,
+    )

@@ -414,13 +414,16 @@ def add_distractors(
     num_distractors: int = 10,
     all_unique: bool = True,
 ):
-    """roomgrid.py:396-438. Returns (state, ctx, kinds, colors) with the
-    distractor descriptors as (num,) arrays."""
-    kinds = jnp.zeros((num_distractors,), jnp.int32)
-    colors = jnp.zeros((num_distractors,), jnp.int32)
+    """roomgrid.py:396-438. Returns (state, ctx, kinds, colors, poss) with
+    the distractor descriptors as (num,) arrays and positions (num, 2).
+
+    The per-distractor loop is a ``lax.scan`` so the body traces once
+    regardless of count (keeps compile time flat across the env suite)."""
     keys = jax.random.split(key, num_distractors)
-    for n in range(num_distractors):
-        k_combo, k_i, k_j, k_place = jax.random.split(keys[n], 4)
+
+    def body(carry, k):
+        state, ctx = carry
+        k_combo, k_i, k_j, k_place = jax.random.split(k, 4)
         if all_unique:
             # Uniform draw over unused (kind, color) combos == the
             # reference's retry-until-unused loop.
@@ -432,11 +435,19 @@ def add_distractors(
             kk, kc = jax.random.split(k_combo)
             kind = OBJ_KINDS[jax.random.randint(kk, (), 0, 3)]
             color = jax.random.randint(kc, (), 0, 6)
-        ri = jax.random.randint(k_i, (), 0, cols) if i is None else i
-        rj = jax.random.randint(k_j, (), 0, rows) if j is None else j
-        state, ctx, _, _ = place_in_room(
+        ri = jax.random.randint(k_i, (), 0, cols) if i is None else jnp.asarray(i)
+        rj = jax.random.randint(k_j, (), 0, rows) if j is None else jnp.asarray(j)
+        state, ctx, pos, _ = place_in_room(
             k_place, state, ctx, room_size, ri, rj, kind, color
         )
-        kinds = kinds.at[n].set(jnp.asarray(kind, jnp.int32))
-        colors = colors.at[n].set(color)
-    return state, ctx, kinds, colors
+        out = (
+            jnp.asarray(kind, jnp.int32),
+            jnp.asarray(color, jnp.int32),
+            jnp.stack([pos[0], pos[1]]).astype(jnp.int32),
+        )
+        return (state, ctx), out
+
+    (state, ctx), (kinds, colors, poss) = jax.lax.scan(
+        body, (state, ctx), keys
+    )
+    return state, ctx, kinds, colors, poss

@@ -181,6 +181,25 @@ def base_step(params: EnvParams, state: EnvState, action: jnp.ndarray):
         jnp.where(in_bounds, cell_contains_color, state.contains_color[cy, cx])
     )
 
+    # --- identity-mark maintenance (BabyAI verifier object tracking) ---
+    # Marks follow the object: pickup lifts the cell's bits into
+    # carrying_marks, drop puts them back, opening a box destroys the box
+    # object (its contents were never tracked, world_object.py:291-294).
+    fwd_marks = jnp.where(in_bounds, state.marks[cy, cx], jnp.uint8(0))
+    cell_marks = jnp.where(
+        do_pickup | do_open_box,
+        jnp.uint8(0),
+        jnp.where(do_drop, state.carrying_marks, fwd_marks),
+    )
+    marks = state.marks.at[cy, cx].set(
+        jnp.where(in_bounds, cell_marks, state.marks[cy, cx])
+    )
+    new_carrying_marks = jnp.where(
+        do_pickup,
+        fwd_marks,
+        jnp.where(do_drop, jnp.uint8(0), state.carrying_marks),
+    )
+
     # --- carried-object updates ---
     new_carrying_obj = jnp.where(
         do_pickup, fwd_obj, jnp.where(do_drop, jnp.uint8(OBJ_EMPTY), state.carrying_obj)
@@ -207,12 +226,14 @@ def base_step(params: EnvParams, state: EnvState, action: jnp.ndarray):
         grid_state=grid_state,
         contains_obj=contains_obj,
         contains_color=contains_color,
+        marks=marks,
         agent_pos=new_pos,
         agent_dir=new_dir,
         carrying_obj=new_carrying_obj,
         carrying_color=new_carrying_color,
         carrying_contains_obj=new_carrying_contains,
         carrying_contains_color=new_carrying_contains_color,
+        carrying_marks=new_carrying_marks,
         step_count=step_count,
         terminated=terminated,
     )
@@ -220,5 +241,16 @@ def base_step(params: EnvParams, state: EnvState, action: jnp.ndarray):
 
 
 def apply_truncation(params: EnvParams, state: EnvState) -> EnvState:
-    """``truncated = step_count >= max_steps`` (minigrid_env.py:582-583)."""
-    return state.replace(truncated=state.step_count >= params.max_steps)
+    """``truncated = step_count >= max_steps`` (minigrid_env.py:582-583).
+
+    BabyAI levels compute max_steps per episode from the sampled instruction
+    (roomgrid_level.py:76-83); those params carry
+    ``dynamic_max_steps_slot = <aux index>`` and the threshold is read from
+    the episode state instead of the static param.
+    """
+    slot = params.opt("dynamic_max_steps_slot")
+    if slot is None:
+        limit = params.max_steps
+    else:
+        limit = state.aux[slot]
+    return state.replace(truncated=state.step_count >= limit)

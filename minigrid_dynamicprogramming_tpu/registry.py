@@ -279,5 +279,48 @@ def _register_all() -> None:
     _reg("MiniGrid-UnlockPickup-v0", make_unlockpickup)
     _reg("MiniGrid-BlockedUnlockPickup-v0", make_blockedunlockpickup)
 
+    _register_babyai()
+
+
+def _register_babyai() -> None:
+    """BabyAI-* ids (reference minigrid/__init__.py:694-1130)."""
+    from minigrid_dynamicprogramming_tpu.envs.babyai.goto import (
+        make_goto,
+        make_goto_door,
+        make_goto_imp_unlock,
+        make_goto_local,
+        make_goto_obj,
+        make_goto_obj_door,
+        make_goto_red_ball,
+        make_goto_red_ball_grey,
+        make_goto_red_blue_ball,
+    )
+
+    _reg("BabyAI-GoToRedBallGrey-v0", make_goto_red_ball_grey)
+    _reg("BabyAI-GoToRedBall-v0", make_goto_red_ball)
+    _reg("BabyAI-GoToRedBallNoDists-v0", make_goto_red_ball, num_dists=0)
+    _reg("BabyAI-GoToObj-v0", make_goto_obj)
+    _reg("BabyAI-GoToObjS4-v0", make_goto_obj, room_size=4)
+    _reg("BabyAI-GoToObjS6-v1", make_goto_obj, room_size=6)
+    _reg("BabyAI-GoToLocal-v0", make_goto_local)
+    for rs, nd in [(5, 2), (6, 2), (6, 3), (6, 4), (7, 4), (7, 5),
+                   (8, 2), (8, 3), (8, 4), (8, 5), (8, 6), (8, 7)]:
+        _reg(
+            f"BabyAI-GoToLocalS{rs}N{nd}-v0",
+            make_goto_local, room_size=rs, num_dists=nd,
+        )
+    _reg("BabyAI-GoTo-v0", make_goto)
+    _reg("BabyAI-GoToOpen-v0", make_goto, doors_open=True)
+    _reg("BabyAI-GoToObjMaze-v0", make_goto, num_dists=1)
+    _reg("BabyAI-GoToObjMazeOpen-v0", make_goto, num_dists=1, doors_open=True)
+    _reg("BabyAI-GoToObjMazeS4R2-v0", make_goto, num_dists=1, room_size=4,
+         num_rows=2, num_cols=2)
+    for rs in (4, 5, 6, 7):
+        _reg(f"BabyAI-GoToObjMazeS{rs}-v0", make_goto, num_dists=1, room_size=rs)
+    _reg("BabyAI-GoToImpUnlock-v0", make_goto_imp_unlock)
+    _reg("BabyAI-GoToRedBlueBall-v0", make_goto_red_blue_ball)
+    _reg("BabyAI-GoToDoor-v0", make_goto_door)
+    _reg("BabyAI-GoToObjDoor-v0", make_goto_obj_door)
+
 
 _register_all()

@@ -69,6 +69,9 @@ def state_from_reference(ref_env, rng=None) -> EnvState:
         grid_state=jnp.asarray(grid_state),
         contains_obj=jnp.asarray(contains_obj),
         contains_color=jnp.asarray(contains_color),
+        marks=jnp.zeros((h, w), dtype=jnp.uint8),
+        vmarks=jnp.zeros((h, w), dtype=jnp.uint8),
+        carrying_marks=jnp.asarray(0, dtype=jnp.uint8),
         agent_pos=jnp.asarray(
             [int(env.agent_pos[0]), int(env.agent_pos[1])], dtype=jnp.int32
         ),
@@ -161,4 +164,90 @@ def aux_from_reference(ref_env, state: EnvState) -> EnvState:
 
     return state.replace(
         aux=jnp.asarray(aux), mission=jnp.asarray(mission)
+    )
+
+
+def babyai_from_reference(ref_env, state: EnvState) -> EnvState:
+    """Snapshot a reference ``RoomGridLevel``'s instruction tree + verifier
+    identity sets into mission codes, mark planes and verifier aux slots
+    (see envs/babyai/core.py for the layout)."""
+    from minigrid.envs.babyai.core import verifier as V
+
+    from minigrid_dynamicprogramming_tpu.envs.babyai import core as B
+
+    env = ref_env.unwrapped
+    instrs = env.instrs
+
+    _LOC = {None: 0, "left": 1, "right": 2, "front": 3, "behind": 4}
+    _TYPE = {None: 0, "door": 4, "key": 5, "ball": 6, "box": 7}
+
+    h, w = state.grid_obj.shape
+    marks = np.zeros((h, w), dtype=np.uint8)
+    codes = np.zeros((MISSION_SLOTS,), dtype=np.int32)
+
+    def encode_desc(desc, slot):
+        base = 2 + (slot // 2) * 10 + 2 + (slot % 2) * 4
+        codes[base] = _TYPE[desc.type]
+        codes[base + 1] = 6 if desc.color is None else _COLOR_IDX[desc.color]
+        codes[base + 2] = _LOC[desc.loc]
+        codes[base + 3] = int(len(desc.obj_set) > 1)
+        bit = 1 << slot
+        for obj in desc.obj_set:
+            x, y = int(obj.cur_pos[0]), int(obj.cur_pos[1])
+            marks[y, x] |= bit
+
+    def encode_leaf(instr, which):
+        base = 2 + which * 10
+        d1 = which * 2
+        if isinstance(instr, V.GoToInstr):
+            codes[base] = B.KIND_GOTO
+            encode_desc(instr.desc, d1)
+        elif isinstance(instr, V.OpenInstr):
+            codes[base] = B.KIND_OPEN
+            codes[base + 1] = int(instr.strict)
+            encode_desc(instr.desc, d1)
+        elif isinstance(instr, V.PickupInstr):
+            codes[base] = B.KIND_PICKUP
+            codes[base + 1] = int(instr.strict)
+            encode_desc(instr.desc, d1)
+        elif isinstance(instr, V.PutNextInstr):
+            codes[base] = B.KIND_PUTNEXT
+            codes[base + 1] = int(instr.strict)
+            encode_desc(instr.desc_move, d1)
+            encode_desc(instr.desc_fixed, d1 + 1)
+        else:
+            raise NotImplementedError(type(instr))
+
+    if isinstance(instrs, V.BeforeInstr):
+        codes[0] = B.COMB_BEFORE
+        encode_leaf(instrs.instr_a, 0)
+        encode_leaf(instrs.instr_b, 1)
+        codes[1] = int(instrs.strict)
+    elif isinstance(instrs, V.AfterInstr):
+        codes[0] = B.COMB_AFTER
+        encode_leaf(instrs.instr_a, 0)
+        encode_leaf(instrs.instr_b, 1)
+        codes[1] = int(instrs.strict)
+    elif isinstance(instrs, V.AndInstr):
+        codes[0] = B.COMB_AND
+        encode_leaf(instrs.instr_a, 0)
+        encode_leaf(instrs.instr_b, 1)
+        codes[1] = int(instrs.strict)
+    else:
+        codes[0] = B.COMB_SINGLE
+        encode_leaf(instrs, 0)
+
+    aux = np.asarray(state.aux).copy()
+    aux[B.AUX_A_DONE] = 0
+    aux[B.AUX_B_DONE] = 0
+    aux[B.AUX_PC_NONE_A] = 1
+    aux[B.AUX_PC_NONE_B] = 1
+    aux[B.AUX_MAX_STEPS] = int(env.max_steps)
+
+    return state.replace(
+        marks=jnp.asarray(marks),
+        vmarks=jnp.asarray(marks),
+        carrying_marks=jnp.asarray(0, dtype=jnp.uint8),
+        mission=jnp.asarray(codes),
+        aux=jnp.asarray(aux),
     )

@@ -15,6 +15,10 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
+# Persistent compile cache: the registry-wide generator sweeps compile one
+# program per env id, which dominates suite runtime on a cold start.
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_cpu_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 REFERENCE_PATH = "/root/reference"
 if REFERENCE_PATH not in sys.path:

@@ -1,0 +1,77 @@
+"""BabyAI verifier trajectory parity.
+
+Reference ``RoomGridLevel`` envs are reset, snapshotted (grid + instruction
+tree + verifier identity sets -> mission codes + mark planes), then both
+sides are driven with identical action scripts: observations, rewards,
+termination and truncation must agree bit-exactly at every step.  This
+exercises the flattened-instruction verifier (envs/babyai/core.py) against
+the reference's Instr state machines (verifier.py)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import minigrid_dynamicprogramming_tpu as mgtpu
+from minigrid_dynamicprogramming_tpu.utils.parity import (
+    babyai_from_reference,
+    state_from_reference,
+)
+
+from .oracle import action_script, make_reference_env
+
+BABYAI_ENVS = [
+    "BabyAI-GoToRedBallGrey-v0",
+    "BabyAI-GoToRedBall-v0",
+    "BabyAI-GoToRedBallNoDists-v0",
+    "BabyAI-GoToObj-v0",
+    "BabyAI-GoToObjS4-v0",
+    "BabyAI-GoToLocal-v0",
+    "BabyAI-GoToLocalS6N3-v0",
+    "BabyAI-GoTo-v0",
+    "BabyAI-GoToOpen-v0",
+    "BabyAI-GoToObjMazeS4-v0",
+    "BabyAI-GoToImpUnlock-v0",
+    "BabyAI-GoToRedBlueBall-v0",
+    "BabyAI-GoToDoor-v0",
+    "BabyAI-GoToObjDoor-v0",
+]
+
+
+@pytest.mark.parametrize("env_id", BABYAI_ENVS)
+@pytest.mark.parametrize("seed", [0, 5])
+def test_babyai_step_parity(env_id, seed, n_steps=200):
+    ref_env, ref_obs = make_reference_env(env_id, seed)
+    env = mgtpu.make(env_id)
+    state = state_from_reference(ref_env)
+    state = babyai_from_reference(ref_env, state)
+
+    assert env.mission_text(np.asarray(state.mission)) == ref_env.unwrapped.mission
+
+    step_fn = jax.jit(env.step)
+    obs0 = jax.jit(env.observation)(state)
+    np.testing.assert_array_equal(
+        np.asarray(obs0["image"]), ref_obs["image"],
+        err_msg=f"{env_id} seed={seed} reset obs",
+    )
+
+    rng = np.random.default_rng(seed + 123)
+    acts = action_script(rng, n_steps)
+    key = jax.random.PRNGKey(0)
+    for t, a in enumerate(acts):
+        ref_obs, ref_r, ref_term, ref_trunc, _ = ref_env.step(int(a))
+        key, k = jax.random.split(key)
+        obs, state, r, term, trunc, _ = step_fn(k, state, jnp.asarray(int(a)))
+        ctx = f"{env_id} seed={seed} t={t} a={int(a)}"
+        np.testing.assert_array_equal(
+            np.asarray(obs["image"]), ref_obs["image"], err_msg=ctx
+        )
+        assert bool(ref_term) == bool(term), ctx
+        assert bool(ref_trunc) == bool(trunc), ctx
+        np.testing.assert_allclose(float(r), float(ref_r), atol=1e-6, err_msg=ctx)
+        if ref_term or ref_trunc:
+            break
+    ref_env.close()
