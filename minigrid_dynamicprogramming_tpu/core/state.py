@@ -34,7 +34,7 @@ AUX_SLOTS = 24
 # Mission code slots.  MiniGrid envs use the first few
 # ([template_id, color_a, type_a, ...]); BabyAI levels store the full
 # flattened instruction tree (see envs/babyai/core.py for the layout).
-MISSION_SLOTS = 24
+MISSION_SLOTS = 48
 
 
 @struct.dataclass
@@ -54,8 +54,8 @@ class EnvState:
     # ``vmarks`` is the position snapshot the verifier actually checks,
     # refreshed from ``marks`` on reset and on drop actions only
     # (roomgrid_level.py:89-91).
-    marks: jnp.ndarray  # (H, W) uint8
-    vmarks: jnp.ndarray  # (H, W) uint8
+    marks: jnp.ndarray  # (H, W) uint16 — 8 descriptor bits + 4 remember bits
+    vmarks: jnp.ndarray  # (H, W) uint16
 
     agent_pos: jnp.ndarray  # (2,) int32 — (x, y)
     agent_dir: jnp.ndarray  # () int32
@@ -63,7 +63,7 @@ class EnvState:
     carrying_color: jnp.ndarray  # () uint8
     carrying_contains_obj: jnp.ndarray  # () uint8 — contents if carrying a box
     carrying_contains_color: jnp.ndarray  # () uint8
-    carrying_marks: jnp.ndarray  # () uint8 — identity bits of the carried obj
+    carrying_marks: jnp.ndarray  # () uint16 — identity bits of the carried obj
 
     step_count: jnp.ndarray  # () int32
     terminated: jnp.ndarray  # () bool
@@ -89,15 +89,15 @@ def new_state(
         grid_state=jnp.zeros((height, width), dtype=u8),
         contains_obj=jnp.full((height, width), OBJ_EMPTY, dtype=u8),
         contains_color=jnp.zeros((height, width), dtype=u8),
-        marks=jnp.zeros((height, width), dtype=u8),
-        vmarks=jnp.zeros((height, width), dtype=u8),
+        marks=jnp.zeros((height, width), dtype=jnp.uint16),
+        vmarks=jnp.zeros((height, width), dtype=jnp.uint16),
         agent_pos=jnp.array([-1, -1], dtype=jnp.int32),
         agent_dir=jnp.array(-1, dtype=jnp.int32),
         carrying_obj=jnp.array(OBJ_EMPTY, dtype=u8),
         carrying_color=jnp.array(0, dtype=u8),
         carrying_contains_obj=jnp.array(OBJ_EMPTY, dtype=u8),
         carrying_contains_color=jnp.array(0, dtype=u8),
-        carrying_marks=jnp.array(0, dtype=u8),
+        carrying_marks=jnp.array(0, dtype=jnp.uint16),
         step_count=jnp.array(0, dtype=jnp.int32),
         terminated=jnp.array(False),
         truncated=jnp.array(False),

@@ -4,48 +4,52 @@ TPU-native re-derivation of the reference BabyAI stack
 (/root/reference/minigrid/envs/babyai/core/verifier.py,
 roomgrid_level.py).  The reference builds a tree of ``Instr`` objects whose
 ``verify(action)`` walks Python object identity sets each step; here the
-instruction is a flat 24-int code vector stored in ``state.mission`` and the
+instruction is a flat 48-int code vector stored in ``state.mission`` and the
 per-step verification is one branchless kernel fused into ``post_step``.
 
-Object identity (``ObjDesc.obj_set``, verifier.py:104-169) becomes *bit
-planes*: descriptor slot k owns bit k of ``state.marks`` — set on the cells
-of matching objects at reset and carried along through pickup/drop by the
-base transition kernel.  ``state.vmarks`` is the verifier's *position
-snapshot* (``obj_poss``), refreshed from ``marks`` only on reset and on drop
-actions, exactly reproducing the reference's stale-position semantics
-(roomgrid_level.py:89-91: ``update_objs_poss`` runs only when the action is
-``drop``).
+The full grammar of ``LevelGen.rand_instr`` (levelgen.py:157-210) is::
 
-Mission code layout (state.mission, MISSION_SLOTS = 24 ints)::
+    instr  ::= clause | Before(clause, clause) | After(clause, clause)
+    clause ::= leaf | And(leaf, leaf)
+    leaf   ::= GoTo(d) | Open(d) | Pickup(d) | PutNext(d, d)
 
-    [0]  comb        0 = single, 1 = before, 2 = after, 3 = and
+so the flat layout holds 2 clauses x 2 leaves x 2 descriptors:
+
+    [0]  comb         0 = single-clause, 1 = before, 2 = after
     [1]  comb_strict
-    [2:12]  clause A: kind, strict, d1_type, d1_color, d1_loc, d1_plural,
-                      d2_type, d2_color, d2_loc, d2_plural
-    [12:22] clause B: same layout
-    kind: 0 none, 1 goto, 2 open, 3 pickup, 4 putnext
+    clause X at {A: 2, B: 25}, 23 slots:
+      [+0]   nand     0 = single leaf, 1 = and-pair (AndInstr)
+      leaf L at {0: +1, 1: +12}, 11 slots:
+        [+0] kind     0 none, 1 goto, 2 open, 3 pickup, 4 putnext
+        [+1] strict
+        [+2..5]  d1:  type, color, loc, plural
+        [+6..9]  d2:  type, color, loc, plural   (putnext only)
     type: object-type index (4 door, 5 key, 6 ball, 7 box), 0 = any
     color: 0..5, 6 = any;  loc: 0 none, 1 left, 2 right, 3 front, 4 behind
 
-Descriptor mark bits: A.d1 = bit 0, A.d2 = bit 1, B.d1 = bit 2, B.d2 = bit 3.
-Bits 4/5 track each clause's ``preCarrying`` object (the remembered carried
-object of Pickup/PutNext verifiers, verifier.py:336-359, :385-433).
+A top-level ``AndInstr`` is encoded as comb = single with an and-pair clause.
 
-Verifier aux slots (state.aux): A_DONE, B_DONE in {0 cont, 1 success,
-2 failure}; PC_NONE_{A,B} (1 = remembered carrying was None); MAX_STEPS (the
-per-episode step limit, roomgrid_level.py:76-83).
+Object identity (``ObjDesc.obj_set``, verifier.py:104-169) becomes *bit
+planes*: descriptor slot k (of 8) owns bit k of ``state.marks`` — set on the
+cells of matching objects at reset and carried along through pickup/drop by
+the base transition kernel.  ``state.vmarks`` is the verifier's *position
+snapshot* (``obj_poss``), refreshed from ``marks`` only on reset and on drop
+actions, reproducing the reference's stale-position semantics
+(roomgrid_level.py:89-91).  Bits 8..11 track each leaf's ``preCarrying``
+object (verifier.py:336-359, :385-433).
+
+Verifier aux slots: top-level clause dones, per-leaf dones (for and-pairs),
+per-leaf pc_none flags, and the per-episode step limit
+(roomgrid_level.py:76-83).
 """
 
 from __future__ import annotations
-
-from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from minigrid_dynamicprogramming_tpu.core.constants import (
-    ACT_DONE,
     ACT_DROP,
     ACT_PICKUP,
     ACT_TOGGLE,
@@ -55,25 +59,36 @@ from minigrid_dynamicprogramming_tpu.core.constants import (
     STATE_OPEN,
 )
 from minigrid_dynamicprogramming_tpu.core.state import EnvParams, EnvState
-from minigrid_dynamicprogramming_tpu.ops.step import success_reward
 
 # -- instruction encodings ---------------------------------------------------
 
-COMB_SINGLE, COMB_BEFORE, COMB_AFTER, COMB_AND = 0, 1, 2, 3
+COMB_SINGLE, COMB_BEFORE, COMB_AFTER = 0, 1, 2
 KIND_NONE, KIND_GOTO, KIND_OPEN, KIND_PICKUP, KIND_PUTNEXT = 0, 1, 2, 3, 4
 LOC_NONE, LOC_LEFT, LOC_RIGHT, LOC_FRONT, LOC_BEHIND = 0, 1, 2, 3, 4
 COLOR_ANY = 6
 TYPE_ANY = 0
 
-# verifier aux slots (upper range; env generators use the lower slots)
-AUX_A_DONE = 16
-AUX_B_DONE = 17
-AUX_PC_NONE_A = 18
-AUX_PC_NONE_B = 19
-AUX_MAX_STEPS = 20
+CLAUSE_OFF = (2, 25)  # mission offset of clause A / B
+LEAF_OFF = (1, 12)  # offset of leaf 0 / 1 within a clause
 
-BIT_A1, BIT_A2, BIT_B1, BIT_B2 = 1, 2, 4, 8
-BIT_REMEMBER_A, BIT_REMEMBER_B = 16, 32
+# verifier aux slots
+AUX_A_DONE = 12
+AUX_B_DONE = 13
+AUX_LEAF_DONE = 14  # .. 17 (clause*2 + leaf)
+AUX_PC_NONE = 18  # .. 21
+AUX_MAX_STEPS = 22
+
+# mark bits: desc slot = ((clause*2 + leaf)*2 + d); remember bit per leaf.
+N_DESC = 8
+
+
+def desc_bit(clause: int, leaf: int, d: int) -> int:
+    return 1 << ((clause * 2 + leaf) * 2 + d)
+
+
+def remember_bit(clause: int, leaf: int) -> int:
+    return 1 << (N_DESC + clause * 2 + leaf)
+
 
 OBJ_TYPE_NAMES = {4: "door", 5: "key", 6: "ball", 7: "box"}
 COLOR_NAMES6 = ["red", "green", "blue", "purple", "yellow", "grey"]
@@ -86,14 +101,61 @@ LOC_SUFFIX = {
 
 
 def clause(kind, strict=0, d1=(0, COLOR_ANY, 0), d2=(0, COLOR_ANY, 0)):
-    """Build a 10-int clause code (plural flags filled by init_instr)."""
+    """One LEAF block (10 ints; plural flags filled by init_instr)."""
     return [kind, strict, d1[0], d1[1], d1[2], 0, d2[0], d2[1], d2[2], 0]
 
 
+leaf = clause  # alias: a 10-int leaf block
+
+
+def and_pair(leaf_a, leaf_b):
+    """An and-pair clause (AndInstr of two leaves)."""
+    return ("and", list(leaf_a), list(leaf_b))
+
+
+def _clause_block(c):
+    """Normalize a clause spec (leaf block or and_pair) to 23 ints."""
+    if c is None:
+        return [0] + [0] * 11 + [0] * 11
+    if isinstance(c, tuple) and c[0] == "and":
+        return [1] + list(c[1]) + [0] + list(c[2]) + [0]
+    return [0] + list(c) + [0] + [0] * 11
+
+
 def instr_codes(comb, clause_a, clause_b=None, strict=0):
-    """Full 24-int mission code vector (plural flags zero until init)."""
-    b = clause_b if clause_b is not None else clause(KIND_NONE)
-    return jnp.asarray([comb, strict] + list(clause_a) + list(b), dtype=jnp.int32)
+    """Full 48-int mission code vector."""
+    vals = (
+        [comb, strict] + _clause_block(clause_a) + _clause_block(clause_b)
+    )
+    return jnp.asarray(vals, dtype=jnp.int32)
+
+
+# -- code-vector field accessors ----------------------------------------------
+
+
+def _leaf_base(c: int, l: int) -> int:
+    return CLAUSE_OFF[c] + LEAF_OFF[l]
+
+
+def _desc_base(c: int, l: int, d: int) -> int:
+    return _leaf_base(c, l) + 2 + d * 4
+
+
+def leaf_kind(codes, c: int, l: int):
+    return codes[_leaf_base(c, l)]
+
+
+def leaf_strict(codes, c: int, l: int):
+    return codes[_leaf_base(c, l) + 1]
+
+
+def clause_is_and(codes, c: int):
+    return codes[CLAUSE_OFF[c]] == 1
+
+
+def desc_fields(codes, c: int, l: int, d: int):
+    b = _desc_base(c, l, d)
+    return codes[b], codes[b + 1], codes[b + 2]
 
 
 # -- descriptor matching (ObjDesc.find_matching_objs, verifier.py:104-169) ---
@@ -101,7 +163,7 @@ def instr_codes(comb, clause_a, clause_b=None, strict=0):
 
 def room_inside_mask(params: EnvParams, pos) -> jnp.ndarray:
     """(H, W) bool — cells inside the room containing ``pos``
-    (RoomGrid.room_from_pos + Room.pos_inside, roomgrid.py:43-49,:110-121)."""
+    (RoomGrid.room_from_pos + Room.pos_inside, roomgrid.py:43-49, :110-121)."""
     rs = params.opt("room_size", 8)
     x, y = pos[0], pos[1]
     ri = x // (rs - 1)
@@ -150,28 +212,26 @@ def desc_match_mask(
     return m
 
 
-def _desc_fields(codes, slot):
-    """codes: (24,) — desc slot in {0: A.d1, 1: A.d2, 2: B.d1, 3: B.d2}."""
-    base = 2 + (slot // 2) * 10 + 2 + (slot % 2) * 4
-    return codes[base], codes[base + 1], codes[base + 2]
+def leaf_active(codes, c: int, l: int):
+    return leaf_kind(codes, c, l) != KIND_NONE
 
 
-def _clause_fields(codes, which):
-    base = 2 + which * 10
-    return codes[base], codes[base + 1]  # kind, strict
+def desc_active(codes, c: int, l: int, d: int):
+    kind = leaf_kind(codes, c, l)
+    return (kind != KIND_NONE) & ((d == 0) | (kind == KIND_PUTNEXT))
 
 
 def num_navs(codes) -> jnp.ndarray:
-    """roomgrid_level.py:215-235: putnext counts 2, other actions 1,
+    """roomgrid_level.py:215-235: putnext counts 2, other leaves 1, And/seq
     combinators sum."""
-
-    def clause_navs(which):
-        kind, _ = _clause_fields(codes, which)
-        return jnp.where(
-            kind == KIND_NONE, 0, jnp.where(kind == KIND_PUTNEXT, 2, 1)
-        )
-
-    return clause_navs(0) + clause_navs(1)
+    total = jnp.asarray(0, jnp.int32)
+    for c in range(2):
+        for l in range(2):
+            kind = leaf_kind(codes, c, l)
+            total += jnp.where(
+                kind == KIND_NONE, 0, jnp.where(kind == KIND_PUTNEXT, 2, 1)
+            )
+    return total
 
 
 def init_instr(params: EnvParams, state: EnvState, codes) -> EnvState:
@@ -179,20 +239,16 @@ def init_instr(params: EnvParams, state: EnvState, codes) -> EnvState:
     initialize verifier aux state and the per-episode step limit."""
     codes = jnp.asarray(codes, dtype=jnp.int32)
     marks = jnp.zeros_like(state.marks)
-    plurals = []
-    for slot, bit in enumerate((BIT_A1, BIT_A2, BIT_B1, BIT_B2)):
-        dtype, dcolor, dloc = _desc_fields(codes, slot)
-        which = slot // 2
-        kind, _ = _clause_fields(codes, which)
-        active = (kind != KIND_NONE) & ((slot % 2 == 0) | (kind == KIND_PUTNEXT))
-        m = desc_match_mask(params, state, dtype, dcolor, dloc) & active
-        marks = marks | jnp.where(m, jnp.uint8(bit), jnp.uint8(0))
-        plurals.append(jnp.sum(m) > 1)
-
-    # plural flags land in mission slots d*_plural (offsets 5 / 9 per clause)
-    for slot, plural in enumerate(plurals):
-        idx = 2 + (slot // 2) * 10 + 5 + (slot % 2) * 4
-        codes = codes.at[idx].set(plural.astype(jnp.int32))
+    for c in range(2):
+        for l in range(2):
+            for d in range(2):
+                dtype, dcolor, dloc = desc_fields(codes, c, l, d)
+                m = desc_match_mask(params, state, dtype, dcolor, dloc)
+                m &= desc_active(codes, c, l, d)
+                bit = desc_bit(c, l, d)
+                marks = marks | jnp.where(m, jnp.uint16(bit), jnp.uint16(0))
+                plural = (jnp.sum(m) > 1).astype(jnp.int32)
+                codes = codes.at[_desc_base(c, l, d) + 3].set(plural)
 
     rs = params.opt("room_size", 8)
     nav_time_maze = rs * rs * params.opt("num_rows", 3) * params.opt("num_cols", 3)
@@ -204,11 +260,16 @@ def init_instr(params: EnvParams, state: EnvState, codes) -> EnvState:
 
     aux = state.aux
     aux = aux.at[AUX_A_DONE].set(0).at[AUX_B_DONE].set(0)
-    aux = aux.at[AUX_PC_NONE_A].set(1).at[AUX_PC_NONE_B].set(1)
+    for i in range(4):
+        aux = aux.at[AUX_LEAF_DONE + i].set(0)
+        aux = aux.at[AUX_PC_NONE + i].set(1)
     aux = aux.at[AUX_MAX_STEPS].set(max_steps.astype(jnp.int32))
     return state.replace(
-        marks=marks, vmarks=marks, carrying_marks=jnp.uint8(0),
-        mission=codes, aux=aux,
+        marks=marks,
+        vmarks=marks,
+        carrying_marks=jnp.zeros((), dtype=marks.dtype),
+        mission=codes,
+        aux=aux,
     )
 
 
@@ -219,14 +280,15 @@ def _bit(x, bit):
     return (x.astype(jnp.int32) & bit) > 0
 
 
-def _leaf_eval(params, prev, new, action, codes, which, pc_none):
-    """Evaluate one clause (without committing state): returns
-    (result in {0 cont, 1 succ, 2 fail}, new_pc_none, marks', carrying_marks')
-    — marks'/carrying_marks' carry the updated remembered-object bit."""
-    kind, strict = _clause_fields(codes, which)
-    bit1 = jnp.where(which == 0, BIT_A1, BIT_B1)
-    bit2 = jnp.where(which == 0, BIT_A2, BIT_B2)
-    rbit = jnp.where(which == 0, BIT_REMEMBER_A, BIT_REMEMBER_B)
+def _leaf_eval(params, new, action, codes, c, l, pc_none):
+    """Evaluate one leaf without committing state: returns
+    (result in {0 cont, 1 succ, 2 fail}, new_pc_none, marks', carrying')
+    with the updated remembered-object bit (applied only if evaluated)."""
+    kind = leaf_kind(codes, c, l)
+    strict = leaf_strict(codes, c, l)
+    bit1 = desc_bit(c, l, 0)
+    bit2 = desc_bit(c, l, 1)
+    rbit = remember_bit(c, l)
 
     h, w = new.grid_obj.shape
     fwd = new.agent_pos + DIR_TO_VEC_ARR[new.agent_dir]
@@ -263,8 +325,7 @@ def _leaf_eval(params, prev, new, action, codes, which, pc_none):
     down = jnp.pad(fixed[:-1], ((1, 0), (0, 0)))
     left = jnp.pad(fixed[:, 1:], ((0, 0), (0, 1)))
     right = jnp.pad(fixed[:, :-1], ((0, 0), (1, 0)))
-    next_to_fixed = up | down | left | right
-    put_succ = is_drop & jnp.any(rem_move & next_to_fixed)
+    put_succ = is_drop & jnp.any(rem_move & (up | down | left | right))
     put_fail = (strict == 1) & is_pickup & carrying_now
 
     succ = jnp.where(
@@ -291,14 +352,14 @@ def _leaf_eval(params, prev, new, action, codes, which, pc_none):
     )
     res = jnp.where(succ, 1, jnp.where(fail, 2, 0))
 
-    # State updates on evaluation: remember the current carrying
+    # On evaluation, remember the current carrying
     # (preCarrying <- env.carrying, verifier.py:343-344).
     tracks_carry = (kind == KIND_PICKUP) | (kind == KIND_PUTNEXT)
     new_pc_none = jnp.where(tracks_carry, (~carrying_now).astype(jnp.int32), pc_none)
-    rbit8 = jnp.uint8(rbit)
-    marks_clear = new.marks & ~rbit8
-    cm_clear = new.carrying_marks & ~rbit8
-    cm_set = jnp.where(carrying_now, cm_clear | rbit8, cm_clear)
+    rbit16 = jnp.asarray(rbit, dtype=new.marks.dtype)
+    marks_clear = new.marks & ~rbit16
+    cm_clear = new.carrying_marks & ~rbit16
+    cm_set = jnp.where(carrying_now, cm_clear | rbit16, cm_clear)
     marks_upd = jnp.where(tracks_carry, marks_clear, new.marks)
     cm_upd = jnp.where(tracks_carry, cm_set, new.carrying_marks)
     return res, new_pc_none, marks_upd, cm_upd
@@ -320,55 +381,92 @@ def verify_step(
     comb = codes[0]
     comb_strict = codes[1]
     aux = new.aux
-    a_done = aux[AUX_A_DONE]
-    b_done = aux[AUX_B_DONE]
 
     # update_objs_poss on drop actions (roomgrid_level.py:89-91).
     new = new.replace(
         vmarks=jnp.where(action == ACT_DROP, new.marks, new.vmarks)
     )
 
-    res_a, pc_a, marks_a, cm_a = _leaf_eval(
-        params, prev, new, action, codes, 0, aux[AUX_PC_NONE_A]
-    )
-    res_b, pc_b, marks_b, cm_b = _leaf_eval(
-        params, prev, new, action, codes, 1, aux[AUX_PC_NONE_B]
-    )
+    # Leaf results (computed unconditionally, committed per eval mask).
+    res = {}
+    pc = {}
+    marks_upd = {}
+    cm_upd = {}
+    for c in range(2):
+        for l in range(2):
+            i = c * 2 + l
+            res[i], pc[i], marks_upd[i], cm_upd[i] = _leaf_eval(
+                params, new, action, codes, c, l, aux[AUX_PC_NONE + i]
+            )
 
-    # Which clauses are evaluated this step (verifier.py:465-487, :506-528,
-    # :552-566).
+    # Clause results: single leaf, or AndInstr of two leaves
+    # (verifier.py:552-566 — And returns success when both succeed and never
+    # fails outside done-actions mode; leaf dones stick on success).
+    def clause_result(c, leaf_eval_mask):
+        is_and = clause_is_and(codes, c)
+        i0, i1 = c * 2, c * 2 + 1
+        d0 = aux[AUX_LEAF_DONE + i0]
+        d1 = aux[AUX_LEAF_DONE + i1]
+        # single-leaf clause: result = leaf result
+        single_res = res[i0]
+        # and-pair: evaluate leaves not yet successful
+        nd0 = jnp.where(d0 == 1, 1, res[i0])
+        nd1 = jnp.where(d1 == 1, 1, res[i1])
+        and_res = jnp.where((nd0 == 1) & (nd1 == 1), 1, 0)
+        r = jnp.where(is_and, and_res, single_res)
+        eval0 = leaf_eval_mask & jnp.where(is_and, d0 != 1, True)
+        eval1 = leaf_eval_mask & is_and & (d1 != 1)
+        # Leaf done flags are only meaningful for and-pairs.
+        new_d0 = jnp.where(leaf_eval_mask & is_and, nd0, d0)
+        new_d1 = jnp.where(leaf_eval_mask & is_and, nd1, d1)
+        return r, (new_d0, new_d1), (eval0, eval1)
+
+    a_done = aux[AUX_A_DONE]
+    b_done = aux[AUX_B_DONE]
     is_single = comb == COMB_SINGLE
     is_before = comb == COMB_BEFORE
     is_after = comb == COMB_AFTER
-    is_and = comb == COMB_AND
+
+    # Provisional clause results assuming evaluation; gating follows.
+    res_a, _, _ = clause_result(0, jnp.asarray(True))
+    res_b, _, _ = clause_result(1, jnp.asarray(True))
 
     eval_a = (
         is_single
         | (is_before & (a_done != 1))
-        | (is_after & ((b_done == 1) | (res_b == 1) & (b_done != 1)))
+        | (is_after & ((b_done == 1) | ((res_b == 1) & (b_done != 1))))
         | (is_after & (comb_strict == 1) & (b_done != 1))
-        | (is_and & (a_done != 1))
     )
     eval_b = (
         (is_before & ((a_done == 1) | ((a_done != 1) & (res_a == 1))))
         | (is_before & (comb_strict == 1) & (a_done != 1))
         | (is_after & (b_done != 1))
-        | (is_and & (b_done != 1))
     )
 
-    # Commit leaf state only where evaluated.
-    pc_none_a = jnp.where(eval_a, pc_a, aux[AUX_PC_NONE_A])
-    pc_none_b = jnp.where(eval_b, pc_b, aux[AUX_PC_NONE_B])
-    marks = jnp.where(eval_a, marks_a, new.marks)
-    cmarks = jnp.where(eval_a, cm_a, new.carrying_marks)
-    # B's remembered bit lives in a different bit position, so apply on top.
-    marks = jnp.where(eval_b, (marks & ~jnp.uint8(BIT_REMEMBER_B)) | (marks_b & jnp.uint8(BIT_REMEMBER_B)), marks)
-    cmarks = jnp.where(eval_b, (cmarks & ~jnp.uint8(BIT_REMEMBER_B)) | (cm_b & jnp.uint8(BIT_REMEMBER_B)), cmarks)
+    # Commit clause-internal state under the eval masks.
+    _, (na0, na1), (ea0, ea1) = clause_result(0, eval_a)
+    _, (nb0, nb1), (eb0, eb1) = clause_result(1, eval_b)
+    leaf_eval = (ea0, ea1, eb0, eb1)
+    leaf_done_new = (na0, na1, nb0, nb1)
 
-    # Combinator state machine.
-    # single
+    marks = new.marks
+    cmarks = new.carrying_marks
+    for i in range(4):
+        c, l = divmod(i, 2)
+        rb = jnp.asarray(remember_bit(c, l), dtype=marks.dtype)
+        marks = jnp.where(
+            leaf_eval[i], (marks & ~rb) | (marks_upd[i] & rb), marks
+        )
+        cmarks = jnp.where(
+            leaf_eval[i], (cmarks & ~rb) | (cm_upd[i] & rb), cmarks
+        )
+
+    pc_new = [
+        jnp.where(leaf_eval[i], pc[i], aux[AUX_PC_NONE + i]) for i in range(4)
+    ]
+
+    # Top-level combinator state machine (verifier.py:465-528).
     s_status = res_a
-    # before (verifier.py:465-487)
     b_active = a_done == 1
     bf_status = jnp.where(
         b_active,
@@ -385,7 +483,6 @@ def verify_step(
     )
     bf_a_done = jnp.where(b_active, a_done, res_a)
     bf_b_done = jnp.where(b_active | (res_a == 1), res_b, b_done)
-    # after (verifier.py:506-528): mirror image
     a_active = b_done == 1
     af_status = jnp.where(
         a_active,
@@ -402,29 +499,21 @@ def verify_step(
     )
     af_b_done = jnp.where(a_active, b_done, res_b)
     af_a_done = jnp.where(a_active | (res_b == 1), res_a, a_done)
-    # and (verifier.py:552-566): failures are not terminal
-    and_a = jnp.where(a_done == 1, 1, res_a)
-    and_b = jnp.where(b_done == 1, 1, res_b)
-    and_status = jnp.where((and_a == 1) & (and_b == 1), 1, 0)
 
     status = jnp.where(
-        is_single,
-        s_status,
-        jnp.where(is_before, bf_status, jnp.where(is_after, af_status, and_status)),
+        is_single, s_status, jnp.where(is_before, bf_status, af_status)
     )
     new_a_done = jnp.where(
-        is_before, bf_a_done, jnp.where(is_after, af_a_done, jnp.where(is_and, and_a, a_done))
+        is_before, bf_a_done, jnp.where(is_after, af_a_done, a_done)
     )
     new_b_done = jnp.where(
-        is_before, bf_b_done, jnp.where(is_after, af_b_done, jnp.where(is_and, and_b, b_done))
+        is_before, bf_b_done, jnp.where(is_after, af_b_done, b_done)
     )
 
-    aux = (
-        aux.at[AUX_A_DONE].set(new_a_done)
-        .at[AUX_B_DONE].set(new_b_done)
-        .at[AUX_PC_NONE_A].set(pc_none_a)
-        .at[AUX_PC_NONE_B].set(pc_none_b)
-    )
+    aux = aux.at[AUX_A_DONE].set(new_a_done).at[AUX_B_DONE].set(new_b_done)
+    for i in range(4):
+        aux = aux.at[AUX_LEAF_DONE + i].set(leaf_done_new[i])
+        aux = aux.at[AUX_PC_NONE + i].set(pc_new[i])
     new = new.replace(aux=aux, marks=marks, carrying_marks=cmarks)
 
     succeeded = status == 1
@@ -446,35 +535,38 @@ def surface_text(codes) -> str:
     """Exact reference mission string (Instr.surface / ObjDesc.surface)."""
     codes = np.asarray(codes)
 
-    def desc(slot):
-        base = 2 + (slot // 2) * 10 + 2 + (slot % 2) * 4
-        t, c, loc, plural = codes[base], codes[base + 1], codes[base + 2], codes[base + 3]
+    def desc(c, l, d):
+        b = _desc_base(c, l, d)
+        t, col, loc, plural = codes[b], codes[b + 1], codes[b + 2], codes[b + 3]
         s = OBJ_TYPE_NAMES.get(int(t), "object")
-        if c != COLOR_ANY:
-            s = COLOR_NAMES6[int(c)] + " " + s
+        if col != COLOR_ANY:
+            s = COLOR_NAMES6[int(col)] + " " + s
         if loc != LOC_NONE:
             s += LOC_SUFFIX[int(loc)]
         return ("a " if plural else "the ") + s
 
-    def clause_text(which):
-        kind = int(codes[2 + which * 10])
-        d1, d2 = which * 2, which * 2 + 1
+    def leaf_text(c, l):
+        kind = int(codes[_leaf_base(c, l)])
         if kind == KIND_GOTO:
-            return "go to " + desc(d1)
+            return "go to " + desc(c, l, 0)
         if kind == KIND_OPEN:
-            return "open " + desc(d1)
+            return "open " + desc(c, l, 0)
         if kind == KIND_PICKUP:
-            return "pick up " + desc(d1)
+            return "pick up " + desc(c, l, 0)
         if kind == KIND_PUTNEXT:
-            return "put " + desc(d1) + " next to " + desc(d2)
+            return "put " + desc(c, l, 0) + " next to " + desc(c, l, 1)
         return ""
 
+    def clause_text(c):
+        if int(codes[CLAUSE_OFF[c]]) == 1:
+            return leaf_text(c, 0) + " and " + leaf_text(c, 1)
+        return leaf_text(c, 0)
+
     comb = int(codes[0])
-    a, b = clause_text(0), clause_text(1)
+    a = clause_text(0)
     if comb == COMB_SINGLE:
         return a
+    b = clause_text(1)
     if comb == COMB_BEFORE:
         return a + ", then " + b
-    if comb == COMB_AFTER:
-        return a + " after you " + b
-    return a + " and " + b
+    return a + " after you " + b

@@ -97,6 +97,31 @@ def make_level(
         state, ctx = rg.init(k_init, state, room_size, num_rows, num_cols)
         state, codes, ok = gen_mission(k_mission, p, state, ctx)
         state = B.init_instr(p, state, codes)
+        # Every active descriptor must match at least one object (the
+        # reference asserts this in ObjDesc.surface, verifier.py:78), and
+        # PutNext leaves must not start already satisfied or with
+        # intersecting sets (roomgrid_level.py:159-176).
+        for c in range(2):
+            for l in range(2):
+                kind = B.leaf_kind(state.mission, c, l)
+                for d in range(2):
+                    bit = B.desc_bit(c, l, d)
+                    active = B.desc_active(state.mission, c, l, d)
+                    matched = jnp.any((state.marks & jnp.uint16(bit)) > 0) | (
+                        (state.carrying_marks & jnp.uint16(bit)) > 0
+                    )
+                    ok = ok & (matched | ~active)
+                is_put = kind == B.KIND_PUTNEXT
+                move = (state.marks & jnp.uint16(B.desc_bit(c, l, 0))) > 0
+                fixed = (state.marks & jnp.uint16(B.desc_bit(c, l, 1))) > 0
+                up = jnp.pad(fixed[1:], ((0, 1), (0, 0)))
+                down = jnp.pad(fixed[:-1], ((1, 0), (0, 0)))
+                left = jnp.pad(fixed[:, 1:], ((0, 0), (0, 1)))
+                right = jnp.pad(fixed[:, :-1], ((0, 0), (1, 0)))
+                bad = jnp.any(move & (up | down | left | right)) | jnp.any(
+                    move & fixed
+                )
+                ok = ok & (~is_put | ~bad)
         return state, ok
 
     def generate(key: jax.Array, p: EnvParams) -> EnvState:

@@ -328,6 +328,7 @@ def connect_all(
     ctx: RoomCtx,
     room_size: int,
     max_itrs: int = 256,
+    exclude_color=None,
 ) -> Tuple[EnvState, RoomCtx]:
     """roomgrid.py:336-394 — repeatedly add random unlocked doors until every
     room is reachable from the agent's start room.  Bounded ``while_loop``
@@ -378,7 +379,15 @@ def connect_all(
             & (~ctx.locked[j, i])
             & (~ctx.locked[nj, ni])
         )
-        color = jax.random.randint(k_c, (), 0, 6)
+        if exclude_color is None:
+            color = jax.random.randint(k_c, (), 0, 6)
+        else:
+            # Uniform over colors != exclude_color (the reference's
+            # door_colors filter, roomgrid.py:336-361 / unlock.py:31-36).
+            logits = jnp.where(
+                jnp.arange(6) == jnp.asarray(exclude_color), -jnp.inf, 0.0
+            )
+            color = jax.random.categorical(k_c, logits).astype(jnp.int32)
         new_state = G.put_obj(
             state,
             ctx.door_x[j, i, k],

@@ -185,10 +185,11 @@ def base_step(params: EnvParams, state: EnvState, action: jnp.ndarray):
     # Marks follow the object: pickup lifts the cell's bits into
     # carrying_marks, drop puts them back, opening a box destroys the box
     # object (its contents were never tracked, world_object.py:291-294).
-    fwd_marks = jnp.where(in_bounds, state.marks[cy, cx], jnp.uint8(0))
+    zero_m = jnp.zeros((), dtype=state.marks.dtype)
+    fwd_marks = jnp.where(in_bounds, state.marks[cy, cx], zero_m)
     cell_marks = jnp.where(
         do_pickup | do_open_box,
-        jnp.uint8(0),
+        zero_m,
         jnp.where(do_drop, state.carrying_marks, fwd_marks),
     )
     marks = state.marks.at[cy, cx].set(
@@ -197,7 +198,7 @@ def base_step(params: EnvParams, state: EnvState, action: jnp.ndarray):
     new_carrying_marks = jnp.where(
         do_pickup,
         fwd_marks,
-        jnp.where(do_drop, jnp.uint8(0), state.carrying_marks),
+        jnp.where(do_drop, zero_m, state.carrying_marks),
     )
 
     # --- carried-object updates ---

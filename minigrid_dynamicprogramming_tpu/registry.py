@@ -322,5 +322,112 @@ def _register_babyai() -> None:
     _reg("BabyAI-GoToDoor-v0", make_goto_door)
     _reg("BabyAI-GoToObjDoor-v0", make_goto_obj_door)
 
+    from minigrid_dynamicprogramming_tpu.envs.babyai.open import (
+        make_open,
+        make_open_door,
+        make_open_doors_order,
+        make_open_red_door,
+        make_open_two_doors,
+    )
+
+    _reg("BabyAI-Open-v0", make_open)
+    _reg("BabyAI-OpenRedDoor-v0", make_open_red_door)
+    _reg("BabyAI-OpenDoor-v0", make_open_door)
+    _reg("BabyAI-OpenDoorColor-v0", make_open_door, select_by="color")
+    _reg("BabyAI-OpenDoorLoc-v0", make_open_door, select_by="loc")
+    _reg("BabyAI-OpenDoorDebug-v0", make_open_door, debug=True, select_by=None)
+    _reg("BabyAI-OpenTwoDoors-v0", make_open_two_doors)
+    _reg(
+        "BabyAI-OpenRedBlueDoors-v0",
+        make_open_two_doors, first_color="red", second_color="blue",
+    )
+    _reg(
+        "BabyAI-OpenRedBlueDoorsDebug-v0",
+        make_open_two_doors, first_color="red", second_color="blue", strict=True,
+    )
+    _reg("BabyAI-OpenDoorsOrderN2-v0", make_open_doors_order, num_doors=2)
+    _reg("BabyAI-OpenDoorsOrderN4-v0", make_open_doors_order, num_doors=4)
+    _reg(
+        "BabyAI-OpenDoorsOrderN2Debug-v0",
+        make_open_doors_order, num_doors=2, debug=True,
+    )
+    _reg(
+        "BabyAI-OpenDoorsOrderN4Debug-v0",
+        make_open_doors_order, num_doors=4, debug=True,
+    )
+
+    from minigrid_dynamicprogramming_tpu.envs.babyai.pickup import (
+        make_pickup,
+        make_pickup_above,
+        make_pickup_dist,
+        make_putnext,
+        make_putnext_local,
+        make_unblock_pickup,
+    )
+
+    _reg("BabyAI-Pickup-v0", make_pickup)
+    _reg("BabyAI-UnblockPickup-v0", make_unblock_pickup)
+    _reg("BabyAI-PickupDist-v0", make_pickup_dist)
+    _reg("BabyAI-PickupDistDebug-v0", make_pickup_dist, debug=True)
+    _reg("BabyAI-PickupAbove-v0", make_pickup_above)
+    _reg("BabyAI-PutNextLocal-v0", make_putnext_local)
+    _reg("BabyAI-PutNextLocalS5N3-v0", make_putnext_local, room_size=5, num_objs=3)
+    _reg("BabyAI-PutNextLocalS6N4-v0", make_putnext_local, room_size=6, num_objs=4)
+    for rs, n in [(4, 1), (5, 1), (5, 2), (6, 3), (7, 4)]:
+        _reg(f"BabyAI-PutNextS{rs}N{n}-v0", make_putnext, room_size=rs,
+             objs_per_room=n)
+    for rs, n in [(5, 2), (6, 3), (7, 4)]:
+        _reg(
+            f"BabyAI-PutNextS{rs}N{n}Carrying-v0",
+            make_putnext, room_size=rs, objs_per_room=n, start_carrying=True,
+        )
+
+    from minigrid_dynamicprogramming_tpu.envs.babyai.unlock import (
+        make_blocked_unlock_pickup,
+        make_key_in_box,
+        make_unlock,
+        make_unlock_local,
+        make_unlock_pickup,
+        make_unlock_to_unlock,
+    )
+
+    _reg("BabyAI-Unlock-v0", make_unlock)
+    _reg("BabyAI-UnlockLocal-v0", make_unlock_local)
+    _reg("BabyAI-UnlockLocalDist-v0", make_unlock_local, distractors=True)
+    _reg("BabyAI-KeyInBox-v0", make_key_in_box)
+    _reg("BabyAI-UnlockPickup-v0", make_unlock_pickup)
+    _reg("BabyAI-UnlockPickupDist-v0", make_unlock_pickup, distractors=True)
+    _reg("BabyAI-BlockedUnlockPickup-v0", make_blocked_unlock_pickup)
+    _reg("BabyAI-UnlockToUnlock-v0", make_unlock_to_unlock)
+
+    from minigrid_dynamicprogramming_tpu.envs.babyai.other import (
+        make_action_obj_door,
+        make_find_obj,
+        make_key_corridor,
+        make_move_two_across,
+        make_one_room,
+    )
+
+    _reg("BabyAI-ActionObjDoor-v0", make_action_obj_door)
+    for rs in (5, 6, 7):
+        _reg(f"BabyAI-FindObjS{rs}-v0", make_find_obj, room_size=rs)
+    _reg("BabyAI-KeyCorridor-v0", make_key_corridor)
+    _reg("BabyAI-KeyCorridorS3R1-v0", make_key_corridor, room_size=3, num_rows=1)
+    _reg("BabyAI-KeyCorridorS3R2-v0", make_key_corridor, room_size=3, num_rows=2)
+    _reg("BabyAI-KeyCorridorS3R3-v0", make_key_corridor, room_size=3, num_rows=3)
+    _reg("BabyAI-KeyCorridorS4R3-v0", make_key_corridor, room_size=4, num_rows=3)
+    _reg("BabyAI-KeyCorridorS5R3-v0", make_key_corridor, room_size=5, num_rows=3)
+    _reg("BabyAI-KeyCorridorS6R3-v0", make_key_corridor, room_size=6, num_rows=3)
+    for rs in (8, 12, 16, 20):
+        _reg(f"BabyAI-OneRoomS{rs}-v0", make_one_room, room_size=rs)
+    _reg(
+        "BabyAI-MoveTwoAcrossS5N2-v0",
+        make_move_two_across, room_size=5, objs_per_room=2,
+    )
+    _reg(
+        "BabyAI-MoveTwoAcrossS8N9-v0",
+        make_move_two_across, room_size=8, objs_per_room=9,
+    )
+
 
 _register_all()

@@ -69,9 +69,9 @@ def state_from_reference(ref_env, rng=None) -> EnvState:
         grid_state=jnp.asarray(grid_state),
         contains_obj=jnp.asarray(contains_obj),
         contains_color=jnp.asarray(contains_color),
-        marks=jnp.zeros((h, w), dtype=jnp.uint8),
-        vmarks=jnp.zeros((h, w), dtype=jnp.uint8),
-        carrying_marks=jnp.asarray(0, dtype=jnp.uint8),
+        marks=jnp.zeros((h, w), dtype=jnp.uint16),
+        vmarks=jnp.zeros((h, w), dtype=jnp.uint16),
+        carrying_marks=jnp.asarray(0, dtype=jnp.uint16),
         agent_pos=jnp.asarray(
             [int(env.agent_pos[0]), int(env.agent_pos[1])], dtype=jnp.int32
         ),
@@ -182,72 +182,109 @@ def babyai_from_reference(ref_env, state: EnvState) -> EnvState:
     _TYPE = {None: 0, "door": 4, "key": 5, "ball": 6, "box": 7}
 
     h, w = state.grid_obj.shape
-    marks = np.zeros((h, w), dtype=np.uint8)
+    marks = np.zeros((h, w), dtype=np.uint16)
     codes = np.zeros((MISSION_SLOTS,), dtype=np.int32)
 
-    def encode_desc(desc, slot):
-        base = 2 + (slot // 2) * 10 + 2 + (slot % 2) * 4
+    def encode_desc(desc, c, l, d):
+        base = B._desc_base(c, l, d)
         codes[base] = _TYPE[desc.type]
         codes[base + 1] = 6 if desc.color is None else _COLOR_IDX[desc.color]
         codes[base + 2] = _LOC[desc.loc]
         codes[base + 3] = int(len(desc.obj_set) > 1)
-        bit = 1 << slot
+        bit = B.desc_bit(c, l, d)
         for obj in desc.obj_set:
             x, y = int(obj.cur_pos[0]), int(obj.cur_pos[1])
-            marks[y, x] |= bit
+            if x >= 0 and y >= 0:
+                marks[y, x] |= bit
+            elif env.carrying is obj:
+                # snapshotting mid-carry (e.g. PutNext start_carrying)
+                pass
 
-    def encode_leaf(instr, which):
-        base = 2 + which * 10
-        d1 = which * 2
+    def encode_leaf(instr, c, l):
+        base = B._leaf_base(c, l)
         if isinstance(instr, V.GoToInstr):
             codes[base] = B.KIND_GOTO
-            encode_desc(instr.desc, d1)
+            encode_desc(instr.desc, c, l, 0)
         elif isinstance(instr, V.OpenInstr):
             codes[base] = B.KIND_OPEN
             codes[base + 1] = int(instr.strict)
-            encode_desc(instr.desc, d1)
+            encode_desc(instr.desc, c, l, 0)
         elif isinstance(instr, V.PickupInstr):
             codes[base] = B.KIND_PICKUP
             codes[base + 1] = int(instr.strict)
-            encode_desc(instr.desc, d1)
+            encode_desc(instr.desc, c, l, 0)
         elif isinstance(instr, V.PutNextInstr):
             codes[base] = B.KIND_PUTNEXT
             codes[base + 1] = int(instr.strict)
-            encode_desc(instr.desc_move, d1)
-            encode_desc(instr.desc_fixed, d1 + 1)
+            encode_desc(instr.desc_move, c, l, 0)
+            encode_desc(instr.desc_fixed, c, l, 1)
         else:
             raise NotImplementedError(type(instr))
 
+    def encode_clause(instr, c):
+        if isinstance(instr, V.AndInstr):
+            codes[B.CLAUSE_OFF[c]] = 1
+            encode_leaf(instr.instr_a, c, 0)
+            encode_leaf(instr.instr_b, c, 1)
+        else:
+            encode_leaf(instr, c, 0)
+
     if isinstance(instrs, V.BeforeInstr):
         codes[0] = B.COMB_BEFORE
-        encode_leaf(instrs.instr_a, 0)
-        encode_leaf(instrs.instr_b, 1)
         codes[1] = int(instrs.strict)
+        encode_clause(instrs.instr_a, 0)
+        encode_clause(instrs.instr_b, 1)
     elif isinstance(instrs, V.AfterInstr):
         codes[0] = B.COMB_AFTER
-        encode_leaf(instrs.instr_a, 0)
-        encode_leaf(instrs.instr_b, 1)
         codes[1] = int(instrs.strict)
-    elif isinstance(instrs, V.AndInstr):
-        codes[0] = B.COMB_AND
-        encode_leaf(instrs.instr_a, 0)
-        encode_leaf(instrs.instr_b, 1)
-        codes[1] = int(instrs.strict)
+        encode_clause(instrs.instr_a, 0)
+        encode_clause(instrs.instr_b, 1)
     else:
         codes[0] = B.COMB_SINGLE
-        encode_leaf(instrs, 0)
+        encode_clause(instrs, 0)
 
     aux = np.asarray(state.aux).copy()
     aux[B.AUX_A_DONE] = 0
     aux[B.AUX_B_DONE] = 0
-    aux[B.AUX_PC_NONE_A] = 1
-    aux[B.AUX_PC_NONE_B] = 1
+    for i in range(4):
+        aux[B.AUX_LEAF_DONE + i] = 0
+        aux[B.AUX_PC_NONE + i] = 1
     aux[B.AUX_MAX_STEPS] = int(env.max_steps)
+
+    # Identity bits for a carried tracked object (PutNext start_carrying):
+    # walk the same slot layout as encode and check obj_set membership.
+    carrying_marks = 0
+    if env.carrying is not None:
+        def leaf_at(c, l):
+            node = instrs
+            if isinstance(node, (V.BeforeInstr, V.AfterInstr)):
+                node = node.instr_a if c == 0 else node.instr_b
+            elif c == 1:
+                return None
+            if isinstance(node, V.AndInstr):
+                node = node.instr_a if l == 0 else node.instr_b
+            elif l == 1:
+                return None
+            return node
+
+        for c in range(2):
+            for l in range(2):
+                node = leaf_at(c, l)
+                if node is None:
+                    continue
+                for d, desc in enumerate(
+                    (getattr(node, "desc_move", getattr(node, "desc", None)),
+                     getattr(node, "desc_fixed", None))
+                ):
+                    if desc is None:
+                        continue
+                    if any(env.carrying is o for o in desc.obj_set):
+                        carrying_marks |= B.desc_bit(c, l, d)
 
     return state.replace(
         marks=jnp.asarray(marks),
         vmarks=jnp.asarray(marks),
-        carrying_marks=jnp.asarray(0, dtype=jnp.uint8),
+        carrying_marks=jnp.asarray(carrying_marks, dtype=jnp.uint16),
         mission=jnp.asarray(codes),
         aux=jnp.asarray(aux),
     )

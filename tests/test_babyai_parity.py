@@ -38,6 +38,37 @@ BABYAI_ENVS = [
     "BabyAI-GoToRedBlueBall-v0",
     "BabyAI-GoToDoor-v0",
     "BabyAI-GoToObjDoor-v0",
+    "BabyAI-Open-v0",
+    "BabyAI-OpenRedDoor-v0",
+    "BabyAI-OpenDoor-v0",
+    "BabyAI-OpenDoorLoc-v0",
+    "BabyAI-OpenDoorDebug-v0",
+    "BabyAI-OpenTwoDoors-v0",
+    "BabyAI-OpenRedBlueDoorsDebug-v0",
+    "BabyAI-OpenDoorsOrderN4-v0",
+    "BabyAI-OpenDoorsOrderN2Debug-v0",
+    "BabyAI-Pickup-v0",
+    "BabyAI-UnblockPickup-v0",
+    "BabyAI-PickupDist-v0",
+    "BabyAI-PickupDistDebug-v0",
+    "BabyAI-PickupAbove-v0",
+    "BabyAI-PutNextLocalS5N3-v0",
+    "BabyAI-PutNextS5N2-v0",
+    "BabyAI-PutNextS5N2Carrying-v0",
+    "BabyAI-Unlock-v0",
+    "BabyAI-UnlockLocal-v0",
+    "BabyAI-UnlockLocalDist-v0",
+    "BabyAI-KeyInBox-v0",
+    "BabyAI-UnlockPickup-v0",
+    "BabyAI-UnlockPickupDist-v0",
+    "BabyAI-BlockedUnlockPickup-v0",
+    "BabyAI-UnlockToUnlock-v0",
+    "BabyAI-ActionObjDoor-v0",
+    "BabyAI-FindObjS5-v0",
+    "BabyAI-KeyCorridorS3R2-v0",
+    "BabyAI-KeyCorridor-v0",
+    "BabyAI-OneRoomS8-v0",
+    "BabyAI-MoveTwoAcrossS5N2-v0",
 ]
 
 
@@ -53,10 +84,14 @@ def test_babyai_step_parity(env_id, seed, n_steps=200):
 
     step_fn = jax.jit(env.step)
     obs0 = jax.jit(env.observation)(state)
-    np.testing.assert_array_equal(
-        np.asarray(obs0["image"]), ref_obs["image"],
-        err_msg=f"{env_id} seed={seed} reset obs",
-    )
+    if "Carrying" not in env_id:
+        # PutNext*Carrying's reference reset obs is computed BEFORE the
+        # start-carrying mutation (putnext.py:192-201) and is stale w.r.t.
+        # the actual state; step obs below still must match exactly.
+        np.testing.assert_array_equal(
+            np.asarray(obs0["image"]), ref_obs["image"],
+            err_msg=f"{env_id} seed={seed} reset obs",
+        )
 
     rng = np.random.default_rng(seed + 123)
     acts = action_script(rng, n_steps)
