@@ -429,5 +429,32 @@ def _register_babyai() -> None:
         make_move_two_across, room_size=8, objs_per_room=9,
     )
 
+    from minigrid_dynamicprogramming_tpu.envs.babyai.levelgen import (
+        make_levelgen,
+    )
+
+    _reg("BabyAI-GoToSeq-v0", make_levelgen, action_kinds=("goto",),
+         locked_room_prob=0, locations=False, unblocking=False)
+    _reg("BabyAI-GoToSeqS5R2-v0", make_levelgen, action_kinds=("goto",),
+         locked_room_prob=0, locations=False, unblocking=False,
+         room_size=5, num_rows=2, num_cols=2, num_dists=4)
+    _reg("BabyAI-PickupLoc-v0", make_levelgen, action_kinds=("pickup",),
+         instr_kinds=("action",), num_rows=1, num_cols=1, num_dists=8,
+         locked_room_prob=0, locations=True, unblocking=False)
+    _reg("BabyAI-Synth-v0", make_levelgen, instr_kinds=("action",),
+         locations=False, unblocking=True, implicit_unlock=False)
+    _reg("BabyAI-SynthS5R2-v0", make_levelgen, instr_kinds=("action",),
+         locations=False, unblocking=True, implicit_unlock=False,
+         room_size=5, num_rows=2)
+    _reg("BabyAI-SynthLoc-v0", make_levelgen, instr_kinds=("action",),
+         locations=True, unblocking=True, implicit_unlock=False)
+    _reg("BabyAI-SynthSeq-v0", make_levelgen, locations=True,
+         unblocking=True, implicit_unlock=False)
+    _reg("BabyAI-MiniBossLevel-v0", make_levelgen, num_cols=2, num_rows=2,
+         room_size=5, num_dists=7, locked_room_prob=0.25)
+    _reg("BabyAI-BossLevel-v0", make_levelgen)
+    _reg("BabyAI-BossLevelNoUnlock-v0", make_levelgen, locked_room_prob=0,
+         implicit_unlock=False)
+
 
 _register_all()

@@ -69,6 +69,15 @@ BABYAI_ENVS = [
     "BabyAI-KeyCorridor-v0",
     "BabyAI-OneRoomS8-v0",
     "BabyAI-MoveTwoAcrossS5N2-v0",
+    "BabyAI-GoToSeq-v0",
+    "BabyAI-GoToSeqS5R2-v0",
+    "BabyAI-PickupLoc-v0",
+    "BabyAI-Synth-v0",
+    "BabyAI-SynthLoc-v0",
+    "BabyAI-SynthSeq-v0",
+    "BabyAI-MiniBossLevel-v0",
+    "BabyAI-BossLevel-v0",
+    "BabyAI-BossLevelNoUnlock-v0",
 ]
 
 
