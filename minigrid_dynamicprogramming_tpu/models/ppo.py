@@ -1,0 +1,301 @@
+"""PPO over mesh-sharded environment batches.
+
+The reference has no learner (SURVEY.md §0); this realizes BASELINE.json
+config 5 — env batches sharded over a ``Mesh`` feed an on-device PPO update.
+Design:
+
+* The whole update (rollout collection via ``lax.scan`` over the vmapped
+  auto-resetting env step, GAE, epochs x minibatches of clipped-surrogate
+  SGD) is ONE jitted function; nothing leaves the device between updates.
+* Environments are data-parallel along the ``"env"`` mesh axis; parameters
+  are replicated.  Gradients are batch means, so XLA lowers them to a single
+  ``psum`` over ICI at the learner boundary — env stepping itself needs no
+  communication (SURVEY.md §5, "distributed communication backend").
+* Minibatching permutes the env axis only (time stays contiguous per env),
+  so resharding inside the epoch loop is a cheap all-to-all at worst.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from minigrid_dynamicprogramming_tpu.core.env import Environment
+from minigrid_dynamicprogramming_tpu.models.nets import ActorCritic, init_params
+from minigrid_dynamicprogramming_tpu.parallel.rollout import make_autoreset_step
+from minigrid_dynamicprogramming_tpu.parallel.sharding import (
+    env_mesh,
+    shard_batch,
+)
+
+
+@struct.dataclass
+class PPOConfig:
+    num_envs: int = struct.field(pytree_node=False, default=4096)
+    rollout_len: int = struct.field(pytree_node=False, default=64)
+    epochs: int = struct.field(pytree_node=False, default=2)
+    num_minibatches: int = struct.field(pytree_node=False, default=4)
+    gamma: float = struct.field(pytree_node=False, default=0.99)
+    gae_lambda: float = struct.field(pytree_node=False, default=0.95)
+    clip_eps: float = struct.field(pytree_node=False, default=0.2)
+    vf_coef: float = struct.field(pytree_node=False, default=0.5)
+    ent_coef: float = struct.field(pytree_node=False, default=0.01)
+    lr: float = struct.field(pytree_node=False, default=2.5e-4)
+    max_grad_norm: float = struct.field(pytree_node=False, default=0.5)
+    autoreset: str = struct.field(pytree_node=False, default="regen")
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    env_state: Any  # batched EnvState
+    obs: Any  # batched observation dict
+    key: jax.Array
+    update_idx: jnp.ndarray
+
+
+class UpdateMetrics(NamedTuple):
+    loss: jnp.ndarray
+    policy_loss: jnp.ndarray
+    value_loss: jnp.ndarray
+    entropy: jnp.ndarray
+    approx_kl: jnp.ndarray
+    mean_reward: jnp.ndarray
+    episodes: jnp.ndarray
+    mean_return: jnp.ndarray  # mean terminal reward over finished episodes
+
+
+def _gae(rewards, values, dones, last_value, gamma, lam):
+    """Generalized advantage estimation over a (T, B) rollout.  Episode
+    boundaries (done) zero the bootstrap, matching auto-reset semantics."""
+
+    def step(carry, xs):
+        gae, next_value = carry
+        reward, value, done = xs
+        nonterminal = 1.0 - done
+        delta = reward + gamma * next_value * nonterminal - value
+        gae = delta + gamma * lam * nonterminal * gae
+        return (gae, value), gae
+
+    (_, _), advantages = jax.lax.scan(
+        step,
+        (jnp.zeros_like(last_value), last_value),
+        (rewards, values, dones.astype(jnp.float32)),
+        reverse=True,
+    )
+    return advantages, advantages + values
+
+
+class PPO:
+    """One env family + one ActorCritic, trained data-parallel on a mesh."""
+
+    def __init__(self, env: Environment, config: PPOConfig = PPOConfig(), mesh=None):
+        self.env = env
+        self.config = config
+        self.mesh = mesh if mesh is not None else env_mesh()
+        self.model = ActorCritic(num_actions=env.action_dim)
+        self.tx = optax.chain(
+            optax.clip_by_global_norm(config.max_grad_norm),
+            optax.adam(config.lr, eps=1e-5),
+        )
+        self._step = jax.vmap(make_autoreset_step(env, config.autoreset))
+        self._update = jax.jit(self._update_impl, donate_argnums=(0,))
+
+    # -- initialization ------------------------------------------------------
+    def init(self, key: jax.Array) -> TrainState:
+        k_params, k_envs, k_loop = jax.random.split(key, 3)
+        params = init_params(self.model, k_params, self.env)
+        opt_state = self.tx.init(params)
+        env_keys = jax.random.split(k_envs, self.config.num_envs)
+        env_state = jax.jit(
+            jax.vmap(self.env.generate, in_axes=(0, None)),
+            static_argnums=(1,),
+        )(env_keys, self.env.params)
+        env_state = shard_batch(env_state, self.mesh)
+        obs = jax.jit(jax.vmap(self.env.observation))(env_state)
+        return TrainState(
+            params=params,
+            opt_state=opt_state,
+            env_state=env_state,
+            obs=obs,
+            key=k_loop,
+            update_idx=jnp.zeros((), jnp.int32),
+        )
+
+    # -- one full PPO update (jitted) ----------------------------------------
+    def update(self, ts: TrainState):
+        return self._update(ts)
+
+    def _update_impl(self, ts: TrainState):
+        cfg = self.config
+        B, T = cfg.num_envs, cfg.rollout_len
+
+        # ---- collect a rollout entirely on device --------------------------
+        def rollout_body(carry, key_t):
+            env_state, obs = carry
+            k_act, k_step = jax.random.split(key_t)
+            logits, value = self.model.apply(ts.params, obs)
+            action = jax.random.categorical(k_act, logits)
+            logp = jax.nn.log_softmax(logits)[
+                jnp.arange(B), action
+            ]
+            step_keys = jax.random.split(k_step, B)
+            next_obs, env_state, reward, term, trunc = self._step(
+                step_keys, env_state, env_state, action
+            )
+            done = term | trunc
+            tr = (obs, action, logp, value, reward, done)
+            return (env_state, next_obs), tr
+
+        key, k_scan = jax.random.split(ts.key)
+        (env_state, last_obs), traj = jax.lax.scan(
+            rollout_body, (ts.env_state, ts.obs), jax.random.split(k_scan, T)
+        )
+        obs_t, actions, logps, values, rewards, dones = traj
+
+        _, last_value = self.model.apply(ts.params, last_obs)
+        advantages, returns = _gae(
+            rewards, values, dones, last_value, cfg.gamma, cfg.gae_lambda
+        )
+
+        # ---- epochs x minibatches over the env axis ------------------------
+        batch = (obs_t, actions, logps, values, advantages, returns)
+
+        def loss_fn(params, mb):
+            obs, action, old_logp, old_value, adv, ret = mb
+            logits, value = self.model.apply(params, obs)
+            logp_all = jax.nn.log_softmax(logits)
+            logp = jnp.take_along_axis(
+                logp_all, action[..., None], axis=-1
+            ).squeeze(-1)
+            ratio = jnp.exp(logp - old_logp)
+            adv = (adv - adv.mean()) / (adv.std() + 1e-8)
+            pg1 = ratio * adv
+            pg2 = jnp.clip(ratio, 1 - cfg.clip_eps, 1 + cfg.clip_eps) * adv
+            policy_loss = -jnp.minimum(pg1, pg2).mean()
+            v_clipped = old_value + jnp.clip(
+                value - old_value, -cfg.clip_eps, cfg.clip_eps
+            )
+            value_loss = 0.5 * jnp.maximum(
+                (value - ret) ** 2, (v_clipped - ret) ** 2
+            ).mean()
+            entropy = -(jnp.exp(logp_all) * logp_all).sum(-1).mean()
+            loss = (
+                policy_loss + cfg.vf_coef * value_loss - cfg.ent_coef * entropy
+            )
+            approx_kl = (old_logp - logp).mean()
+            return loss, (policy_loss, value_loss, entropy, approx_kl)
+
+        def minibatch_step(carry, mb):
+            params, opt_state = carry
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, mb
+            )
+            updates, opt_state = self.tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), (loss, *aux)
+
+        def epoch_step(carry, key_e):
+            params, opt_state = carry
+            perm = jax.random.permutation(key_e, B)
+            mb_size = B // cfg.num_minibatches
+
+            def take(x):
+                # (T, B, ...) -> (n_mb, T, mb, ...): permute envs, split.
+                shuffled = jnp.take(x, perm, axis=1)
+                return (
+                    shuffled.reshape(
+                        T, cfg.num_minibatches, mb_size, *x.shape[2:]
+                    ).swapaxes(0, 1)
+                )
+
+            mbs = jax.tree_util.tree_map(take, batch)
+            (params, opt_state), metrics = jax.lax.scan(
+                minibatch_step, (params, opt_state), mbs
+            )
+            return (params, opt_state), metrics
+
+        key, k_epochs = jax.random.split(key)
+        (params, opt_state), metrics = jax.lax.scan(
+            epoch_step,
+            (ts.params, ts.opt_state),
+            jax.random.split(k_epochs, cfg.epochs),
+        )
+
+        loss, policy_loss, value_loss, entropy, approx_kl = (
+            m.mean() for m in metrics
+        )
+        n_done = dones.sum()
+        out = UpdateMetrics(
+            loss=loss,
+            policy_loss=policy_loss,
+            value_loss=value_loss,
+            entropy=entropy,
+            approx_kl=approx_kl,
+            mean_reward=rewards.mean(),
+            episodes=n_done.astype(jnp.int32),
+            mean_return=jnp.where(
+                n_done > 0, (rewards * dones).sum() / n_done, 0.0
+            ),
+        )
+        new_ts = TrainState(
+            params=params,
+            opt_state=opt_state,
+            env_state=env_state,
+            obs=last_obs,
+            key=key,
+            update_idx=ts.update_idx + 1,
+        )
+        return new_ts, out
+
+
+def train(
+    env_id: str,
+    config: PPOConfig = PPOConfig(),
+    num_updates: int = 50,
+    seed: int = 0,
+    log_every: int = 10,
+    mesh=None,
+):
+    """Host-side training loop; returns (final TrainState, metric history)."""
+    import minigrid_dynamicprogramming_tpu as mgtpu
+
+    env = mgtpu.make(env_id)
+    ppo = PPO(env, config, mesh)
+    ts = ppo.init(jax.random.PRNGKey(seed))
+    history = []
+    for u in range(num_updates):
+        ts, m = ppo.update(ts)
+        if (u + 1) % log_every == 0 or u == num_updates - 1:
+            m = jax.device_get(m)
+            history.append(m)
+            steps = (u + 1) * config.num_envs * config.rollout_len
+            print(
+                f"update {u + 1}/{num_updates} steps={steps} "
+                f"loss={m.loss:.4f} return={m.mean_return:.3f} "
+                f"episodes={int(m.episodes)} kl={m.approx_kl:.4f}"
+            )
+    return ts, history
+
+
+def main() -> None:
+    import argparse
+
+    p = argparse.ArgumentParser(description="PPO on a TPU-native Minigrid env")
+    p.add_argument("--env-id", default="MiniGrid-Empty-8x8-v0")
+    p.add_argument("--num-envs", type=int, default=4096)
+    p.add_argument("--rollout-len", type=int, default=64)
+    p.add_argument("--updates", type=int, default=50)
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args()
+    cfg = PPOConfig(num_envs=args.num_envs, rollout_len=args.rollout_len)
+    train(args.env_id, cfg, num_updates=args.updates, seed=args.seed)
+
+
+if __name__ == "__main__":
+    main()
