@@ -1,0 +1,583 @@
+"""Lane-major (batch-last) fast path for batched stepping.
+
+Why this exists: the straightforward ``vmap``-over-leading-axis layout puts
+each env's tiny ``(H, W)`` / ``(view, view)`` planes into the TPU's minor two
+dimensions, which are tile-padded to ``(32, 128)`` — a 7x7 uint8 view plane
+occupies 4 KiB of HBM per env, ~60x wasted bandwidth on every observation
+intermediate.  Measured on one v5e chip this caps the full step+obs pipeline
+at ~0.5M env-steps/s.
+
+Here the batch lives in the LAST (lane) dimension instead: grid planes are
+``(H*W, B)``, view planes ``(view*view, B)``, per-env scalars ``(B,)``.
+Every op is dense over 128-lane tiles of envs, per-env dynamic cell access
+becomes a one-hot compare + reduce over the (sublane) cell axis, and the
+sequential visibility sweep becomes static sublane shifts.  The same
+pipeline runs at >40M env-steps/s — a ~90x layout win with identical
+semantics (parity-tested against the vmapped path in tests/test_lanes.py).
+
+Semantics are a port of the same reference code paths as ops/step.py and
+ops/obs.py (/root/reference/minigrid/minigrid_env.py:520-645,
+/root/reference/minigrid/core/grid.py:244-328); see those modules for the
+line-by-line derivation.  This module only re-lays-out the math.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from minigrid_dynamicprogramming_tpu.core.constants import (
+    ACT_DROP,
+    ACT_FORWARD,
+    ACT_LEFT,
+    ACT_PICKUP,
+    ACT_RIGHT,
+    ACT_TOGGLE,
+    COLOR_GREY,
+    OBJ_BOX,
+    OBJ_DOOR,
+    OBJ_EMPTY,
+    OBJ_GOAL,
+    OBJ_KEY,
+    OBJ_LAVA,
+    OBJ_WALL,
+    STATE_CLOSED,
+    STATE_LOCKED,
+    STATE_OPEN,
+)
+from minigrid_dynamicprogramming_tpu.core.env import Environment
+from minigrid_dynamicprogramming_tpu.core.state import EnvParams, EnvState
+from minigrid_dynamicprogramming_tpu.ops.step import success_reward
+
+def _dir_vec(agent_dir: jnp.ndarray):
+    """DIR_TO_VEC as compare-selects (a 4-entry gather is slower on TPU)."""
+    one = jnp.ones((), jnp.int32)
+    dx = jnp.where(agent_dir == 0, one, jnp.where(agent_dir == 2, -one, 0))
+    dy = jnp.where(agent_dir == 1, one, jnp.where(agent_dir == 3, -one, 0))
+    return dx, dy
+
+
+@struct.dataclass
+class LaneState:
+    """Batch-last mirror of a vmapped :class:`EnvState`.
+
+    Planes are ``(H*W, B)`` (row-major cells on sublanes, envs on lanes);
+    per-env scalars are ``(B,)``; vectors put their own axis first.
+    """
+
+    grid_obj: jnp.ndarray  # (HW, B) u8
+    grid_color: jnp.ndarray  # (HW, B) u8
+    grid_state: jnp.ndarray  # (HW, B) u8
+    contains_obj: jnp.ndarray  # (HW, B) u8
+    contains_color: jnp.ndarray  # (HW, B) u8
+    marks: jnp.ndarray  # (HW, B) u16
+    vmarks: jnp.ndarray  # (HW, B) u16
+
+    agent_x: jnp.ndarray  # (B,) i32
+    agent_y: jnp.ndarray  # (B,) i32
+    agent_dir: jnp.ndarray  # (B,) i32
+    carrying_obj: jnp.ndarray  # (B,) u8
+    carrying_color: jnp.ndarray  # (B,) u8
+    carrying_contains_obj: jnp.ndarray  # (B,) u8
+    carrying_contains_color: jnp.ndarray  # (B,) u8
+    carrying_marks: jnp.ndarray  # (B,) u16
+
+    step_count: jnp.ndarray  # (B,) i32
+    terminated: jnp.ndarray  # (B,) bool
+    truncated: jnp.ndarray  # (B,) bool
+
+    aux: jnp.ndarray  # (AUX, B) i32
+    mission: jnp.ndarray  # (MS, B) i32
+    rng: jnp.ndarray  # (B, 2) u32
+
+
+def to_lanes(state: EnvState) -> LaneState:
+    """Vmapped (batch-first) state -> lane-major state."""
+    b, h, w = state.grid_obj.shape
+
+    def plane(x):
+        return x.reshape(b, h * w).T
+
+    return LaneState(
+        grid_obj=plane(state.grid_obj),
+        grid_color=plane(state.grid_color),
+        grid_state=plane(state.grid_state),
+        contains_obj=plane(state.contains_obj),
+        contains_color=plane(state.contains_color),
+        marks=plane(state.marks),
+        vmarks=plane(state.vmarks),
+        agent_x=state.agent_pos[:, 0],
+        agent_y=state.agent_pos[:, 1],
+        agent_dir=state.agent_dir,
+        carrying_obj=state.carrying_obj,
+        carrying_color=state.carrying_color,
+        carrying_contains_obj=state.carrying_contains_obj,
+        carrying_contains_color=state.carrying_contains_color,
+        carrying_marks=state.carrying_marks,
+        step_count=state.step_count,
+        terminated=state.terminated,
+        truncated=state.truncated,
+        aux=state.aux.T,
+        mission=state.mission.T,
+        rng=state.rng,
+    )
+
+
+def from_lanes(params: EnvParams, ls: LaneState) -> EnvState:
+    """Lane-major state -> vmapped (batch-first) state."""
+    h, w = params.height, params.width
+
+    def plane(x):
+        return x.T.reshape(-1, h, w)
+
+    return EnvState(
+        grid_obj=plane(ls.grid_obj),
+        grid_color=plane(ls.grid_color),
+        grid_state=plane(ls.grid_state),
+        contains_obj=plane(ls.contains_obj),
+        contains_color=plane(ls.contains_color),
+        marks=plane(ls.marks),
+        vmarks=plane(ls.vmarks),
+        agent_pos=jnp.stack([ls.agent_x, ls.agent_y], axis=-1),
+        agent_dir=ls.agent_dir,
+        carrying_obj=ls.carrying_obj,
+        carrying_color=ls.carrying_color,
+        carrying_contains_obj=ls.carrying_contains_obj,
+        carrying_contains_color=ls.carrying_contains_color,
+        carrying_marks=ls.carrying_marks,
+        step_count=ls.step_count,
+        terminated=ls.terminated,
+        truncated=ls.truncated,
+        aux=ls.aux.T,
+        mission=ls.mission.T,
+        rng=ls.rng,
+    )
+
+
+def _cell_onehot(hw: int, idx: jnp.ndarray) -> jnp.ndarray:
+    """(HW, B) bool one-hot of per-env flat cell index ``idx`` (B,)."""
+    iota = jnp.arange(hw, dtype=jnp.int32)[:, None]
+    return iota == idx[None, :]
+
+
+def _read(plane: jnp.ndarray, onehot: jnp.ndarray) -> jnp.ndarray:
+    """Per-lane read ``plane[idx]`` via masked max (exactly one hit/lane)."""
+    zero = jnp.zeros((), dtype=plane.dtype)
+    return jnp.where(onehot, plane, zero).max(axis=0)
+
+
+def _write(plane, onehot, do, val):
+    """Per-lane conditional write ``plane[idx] = val where do``."""
+    return jnp.where(onehot & do[None, :], val[None, :], plane)
+
+
+def step_lanes(
+    params: EnvParams, ls: LaneState, action: jnp.ndarray
+) -> Tuple[LaneState, jnp.ndarray, jnp.ndarray]:
+    """Lane-major port of ``ops.step.base_step`` + truncation.
+
+    Core MDP only (no per-family pre/post hooks); gate with
+    :func:`supports_lanes`.  Returns ``(new_state, reward, terminated)``.
+    """
+    w, h = params.width, params.height
+    hw = h * w
+    action = action.astype(jnp.int32)
+    step_count = ls.step_count + 1
+
+    dx, dy = _dir_vec(ls.agent_dir)
+    fx = ls.agent_x + dx
+    fy = ls.agent_y + dy
+    in_bounds = (fx >= 0) & (fx < w) & (fy >= 0) & (fy < h)
+    fwd_idx = jnp.clip(fy, 0, h - 1) * w + jnp.clip(fx, 0, w - 1)
+    oh = _cell_onehot(hw, fwd_idx)
+
+    u8 = jnp.uint8
+    fwd_obj = jnp.where(in_bounds, _read(ls.grid_obj, oh), u8(OBJ_WALL))
+    fwd_color = jnp.where(in_bounds, _read(ls.grid_color, oh), u8(0))
+    fwd_state = jnp.where(in_bounds, _read(ls.grid_state, oh), u8(0))
+    fwd_contains = jnp.where(in_bounds, _read(ls.contains_obj, oh), u8(OBJ_EMPTY))
+    fwd_contains_color = jnp.where(
+        in_bounds, _read(ls.contains_color, oh), u8(0)
+    )
+    fwd_marks = jnp.where(
+        in_bounds, _read(ls.marks, oh), jnp.zeros((), ls.marks.dtype)
+    )
+
+    is_left = action == ACT_LEFT
+    is_right = action == ACT_RIGHT
+    is_forward = action == ACT_FORWARD
+    is_pickup = action == ACT_PICKUP
+    is_drop = action == ACT_DROP
+    is_toggle = action == ACT_TOGGLE
+
+    new_dir = jnp.where(
+        is_left,
+        (ls.agent_dir + 3) % 4,
+        jnp.where(is_right, (ls.agent_dir + 1) % 4, ls.agent_dir),
+    )
+
+    fwd_is_empty = fwd_obj == OBJ_EMPTY
+    fwd_open_door = (fwd_obj == OBJ_DOOR) & (fwd_state == STATE_OPEN)
+    # CAN_OVERLAP as compare-selects (constants.py _CAN_OVERLAP): empty,
+    # floor, goal, lava overlap-able.
+    can_overlap = (
+        fwd_is_empty
+        | (fwd_obj == 3)  # OBJ_FLOOR
+        | (fwd_obj == OBJ_GOAL)
+        | (fwd_obj == OBJ_LAVA)
+    )
+    can_enter = can_overlap | fwd_open_door
+    moved = is_forward & can_enter & in_bounds
+    new_x = jnp.where(moved, fx, ls.agent_x)
+    new_y = jnp.where(moved, fy, ls.agent_y)
+    hit_goal = is_forward & (fwd_obj == OBJ_GOAL)
+    hit_lava = is_forward & (fwd_obj == OBJ_LAVA)
+    terminated = hit_goal | hit_lava
+    reward = jnp.where(
+        hit_goal, success_reward(step_count, params.max_steps), 0.0
+    )
+
+    not_carrying = ls.carrying_obj == OBJ_EMPTY
+    can_pickup = (
+        (fwd_obj == OBJ_KEY) | (fwd_obj == 6) | (fwd_obj == OBJ_BOX)
+    )  # key, ball, box (constants.py _CAN_PICKUP)
+    do_pickup = is_pickup & can_pickup & not_carrying & in_bounds
+    do_drop = is_drop & fwd_is_empty & (~not_carrying) & in_bounds
+
+    fwd_is_door = fwd_obj == OBJ_DOOR
+    key_matches = (ls.carrying_obj == OBJ_KEY) & (
+        ls.carrying_color == fwd_color
+    )
+    do_unlock = is_toggle & fwd_is_door & (fwd_state == STATE_LOCKED) & key_matches
+    do_flip = is_toggle & fwd_is_door & (fwd_state != STATE_LOCKED)
+    new_door_state = jnp.where(
+        do_unlock,
+        u8(STATE_OPEN),
+        jnp.where(
+            do_flip,
+            jnp.where(
+                fwd_state == STATE_OPEN, u8(STATE_CLOSED), u8(STATE_OPEN)
+            ),
+            fwd_state,
+        ),
+    )
+    do_open_box = is_toggle & (fwd_obj == OBJ_BOX) & in_bounds
+
+    cell_obj = jnp.where(
+        do_pickup,
+        u8(OBJ_EMPTY),
+        jnp.where(
+            do_drop,
+            ls.carrying_obj,
+            jnp.where(do_open_box, fwd_contains, fwd_obj),
+        ),
+    )
+    cell_color = jnp.where(
+        do_pickup,
+        u8(0),
+        jnp.where(
+            do_drop,
+            ls.carrying_color,
+            jnp.where(do_open_box, fwd_contains_color, fwd_color),
+        ),
+    )
+    cell_state = jnp.where(
+        do_pickup | do_drop | do_open_box, u8(0), new_door_state
+    )
+    cell_contains = jnp.where(
+        do_pickup | do_open_box,
+        u8(OBJ_EMPTY),
+        jnp.where(do_drop, ls.carrying_contains_obj, fwd_contains),
+    )
+    cell_contains_color = jnp.where(
+        do_pickup | do_open_box,
+        u8(0),
+        jnp.where(do_drop, ls.carrying_contains_color, fwd_contains_color),
+    )
+    zero_m = jnp.zeros((), dtype=ls.marks.dtype)
+    cell_marks = jnp.where(
+        do_pickup | do_open_box,
+        zero_m,
+        jnp.where(do_drop, ls.carrying_marks, fwd_marks),
+    )
+
+    touched = in_bounds  # the write is a no-op when the value is unchanged
+    grid_obj = _write(ls.grid_obj, oh, touched, cell_obj)
+    grid_color = _write(ls.grid_color, oh, touched, cell_color)
+    grid_state = _write(ls.grid_state, oh, touched, cell_state)
+    contains_obj = _write(ls.contains_obj, oh, touched, cell_contains)
+    contains_color = _write(ls.contains_color, oh, touched, cell_contains_color)
+    marks = _write(ls.marks, oh, touched, cell_marks)
+
+    new_carrying_marks = jnp.where(
+        do_pickup, fwd_marks, jnp.where(do_drop, zero_m, ls.carrying_marks)
+    )
+    new_carrying_obj = jnp.where(
+        do_pickup,
+        fwd_obj,
+        jnp.where(do_drop, u8(OBJ_EMPTY), ls.carrying_obj),
+    )
+    new_carrying_color = jnp.where(
+        do_pickup, fwd_color, jnp.where(do_drop, u8(0), ls.carrying_color)
+    )
+    new_carrying_contains = jnp.where(
+        do_pickup,
+        fwd_contains,
+        jnp.where(do_drop, u8(OBJ_EMPTY), ls.carrying_contains_obj),
+    )
+    new_carrying_contains_color = jnp.where(
+        do_pickup,
+        fwd_contains_color,
+        jnp.where(do_drop, u8(0), ls.carrying_contains_color),
+    )
+
+    # Truncation (minigrid_env.py:582-583); dynamic per-episode limits read
+    # from an aux slot (BabyAI, roomgrid_level.py:76-83).
+    slot = params.opt("dynamic_max_steps_slot")
+    limit = params.max_steps if slot is None else ls.aux[slot]
+    truncated = step_count >= limit
+
+    new_ls = ls.replace(
+        grid_obj=grid_obj,
+        grid_color=grid_color,
+        grid_state=grid_state,
+        contains_obj=contains_obj,
+        contains_color=contains_color,
+        marks=marks,
+        agent_x=new_x,
+        agent_y=new_y,
+        agent_dir=new_dir,
+        carrying_obj=new_carrying_obj,
+        carrying_color=new_carrying_color,
+        carrying_contains_obj=new_carrying_contains,
+        carrying_contains_color=new_carrying_contains_color,
+        carrying_marks=new_carrying_marks,
+        step_count=step_count,
+        terminated=terminated,
+        truncated=truncated,
+    )
+    return new_ls, reward, terminated
+
+
+def obs_lanes(params: EnvParams, ls: LaneState):
+    """Lane-major port of ``ops.obs.gen_obs_planes``: egocentric view planes
+    ``(obj, color, state, vis)`` each ``(view*view, B)`` indexed
+    ``vy * view + vx`` (agent at ``vy = view-1, vx = view//2`` facing up)."""
+    w, h = params.width, params.height
+    hw = h * w
+    v = params.agent_view_size
+    hs = v // 2
+    u8 = jnp.uint8
+
+    d_x, d_y = _dir_vec(ls.agent_dir)
+    r_x, r_y = -d_y, d_x
+
+    iota = jnp.arange(hw, dtype=jnp.int32)[:, None]  # (HW, 1)
+    objs, colors, states = [], [], []
+    for vy in range(v):
+        for vx in range(v):
+            wx = ls.agent_x + d_x * (v - 1 - vy) + r_x * (vx - hs)
+            wy = ls.agent_y + d_y * (v - 1 - vy) + r_y * (vx - hs)
+            oob = (wx < 0) | (wx >= w) | (wy < 0) | (wy >= h)
+            wi = jnp.clip(wy, 0, h - 1) * w + jnp.clip(wx, 0, w - 1)
+            m = iota == wi[None, :]
+            o = jnp.where(m, ls.grid_obj, u8(0)).max(0)
+            c = jnp.where(m, ls.grid_color, u8(0)).max(0)
+            s = jnp.where(m, ls.grid_state, u8(0)).max(0)
+            # OOB cells become Wall() (grid.py:136-139).
+            objs.append(jnp.where(oob, u8(OBJ_WALL), o))
+            colors.append(jnp.where(oob, u8(COLOR_GREY), c))
+            states.append(jnp.where(oob, u8(0), s))
+    obj = jnp.stack(objs)  # (VV, B)
+    color = jnp.stack(colors)
+    obj_state = jnp.stack(states)
+
+    if params.see_through_walls:
+        vis = jnp.ones(obj.shape, dtype=bool)
+    else:
+        blocked = (obj == OBJ_WALL) | (
+            (obj == OBJ_DOOR) & (obj_state != STATE_OPEN)
+        )
+        vis = _process_vis_lanes(~blocked, v)
+
+    # Carried-object overlay at the agent cell (minigrid_env.py:618-625).
+    agent_cell = (v - 1) * v + hs
+    obj = obj.at[agent_cell].set(ls.carrying_obj)
+    color = color.at[agent_cell].set(
+        jnp.where(ls.carrying_obj == OBJ_EMPTY, u8(0), ls.carrying_color)
+    )
+    obj_state = obj_state.at[agent_cell].set(u8(0))
+    return obj, color, obj_state, vis
+
+
+def _process_vis_lanes(see: jnp.ndarray, v: int) -> jnp.ndarray:
+    """Lane-major port of the reference's sequential visibility sweep
+    (grid.py:291-328); see ops.obs.process_vis for the derivation.  ``see``
+    is ``(v*v, B)`` bool; rows are static sublane slices, the left/right
+    OR-cascades are static sublane shifts."""
+
+    def sr(x):  # shift +vx within a (v, B) row slab
+        return jnp.concatenate([jnp.zeros_like(x[:1]), x[:-1]], axis=0)
+
+    def sl(x):
+        return jnp.concatenate([x[1:], jnp.zeros_like(x[:1])], axis=0)
+
+    b = see.shape[1]
+    rows = [jnp.zeros((v, b), dtype=bool) for _ in range(v)]
+    rows[v - 1] = rows[v - 1].at[v // 2].set(True)
+    sees = [see[j * v : (j + 1) * v] for j in range(v)]
+
+    for j in reversed(range(v)):
+        row, see_row = rows[j], sees[j]
+        for _ in range(v - 1):
+            row = row | sr(row & see_row)
+        cond1 = (row & see_row).at[v - 1].set(False)
+        for _ in range(v - 1):
+            row = row | sl(row & see_row)
+        cond2 = (row & see_row).at[0].set(False)
+        rows[j] = row
+        if j > 0:
+            rows[j - 1] = rows[j - 1] | cond1 | sr(cond1) | cond2 | sl(cond2)
+    return jnp.concatenate(rows, axis=0)
+
+
+def obs_image_lanes(params: EnvParams, ls: LaneState) -> jnp.ndarray:
+    """(B, view, view, 3) uint8 batch in the reference's ``[x, y]`` layout —
+    bitwise-identical to ``vmap(gen_obs_image)`` on the equivalent state."""
+    v = params.agent_view_size
+    obj, color, obj_state, vis = obs_lanes(params, ls)
+    img = jnp.stack([obj, color, obj_state], axis=1)  # (VV, 3, B)
+    img = jnp.where(vis[:, None, :], img, jnp.uint8(0))
+    img = img.reshape(v, v, 3, -1)  # [vy, vx, 3, B]
+    return jnp.transpose(img, (3, 1, 0, 2))  # [B, vx, vy, 3]
+
+
+def supports_lanes(env: Environment) -> bool:
+    """True when the env's semantics are fully covered by the lane kernels
+    (core MDP, no per-family hooks)."""
+    return (
+        env.pre_step is None
+        and env.post_step is None
+        and env.action_map is None
+    )
+
+
+class LaneRolloutResult(NamedTuple):
+    final_state: LaneState
+    total_reward: jnp.ndarray  # () f32
+    episodes: jnp.ndarray  # () i32
+    steps: jnp.ndarray  # () i32
+    obs_checksum: jnp.ndarray  # () i32 — keeps the obs encoder live
+
+
+# LaneState fields whose batch axis is FIRST instead of last.
+_BATCH_FIRST_FIELDS = ("rng",)
+
+
+def _bcast_done(done, leaf, batch_first: bool):
+    if batch_first:
+        return done.reshape(done.shape + (1,) * (leaf.ndim - 1))
+    return done.reshape((1,) * (leaf.ndim - 1) + done.shape)
+
+
+def _select_lanes(done, fresh: LaneState, cur: LaneState) -> LaneState:
+    """Per-lane ``where(done, fresh, cur)`` respecting each field's layout."""
+    out = {}
+    for name in fresh.__dataclass_fields__:
+        a, b = getattr(fresh, name), getattr(cur, name)
+        out[name] = jnp.where(
+            _bcast_done(done, a, name in _BATCH_FIRST_FIELDS), a, b
+        )
+    return LaneState(**out)
+
+
+def _select_pool(pool, r_idx: jnp.ndarray, rounds: int) -> LaneState:
+    """Pick per-lane pool round: pool leaves are (R, ...field-shape...)."""
+    out = {}
+    for name in LaneState.__dataclass_fields__:
+        leaf = getattr(pool, name)
+        batch_first = name in _BATCH_FIRST_FIELDS
+        picked = leaf[0]
+        for r in range(1, rounds):
+            sel = _bcast_done(r_idx == r, leaf[0], batch_first)
+            picked = jnp.where(sel, leaf[r], picked)
+        out[name] = picked
+    return LaneState(**out)
+
+
+@partial(jax.jit, static_argnums=(0, 2, 3, 4, 5))
+def lane_rollout(
+    env: Environment,
+    key: jax.Array,
+    batch_size: int,
+    horizon: int = 256,
+    autoreset: str = "pool",
+    pool_rounds: int = 4,
+) -> LaneRolloutResult:
+    """Random-policy rollout on the lane-major fast path.
+
+    Auto-reset modes:
+
+    * ``"pool"`` — pregenerate ``pool_rounds`` full layout batches; the k-th
+      reset of a slot draws round ``k % pool_rounds``.  Fresh layouts per
+      episode (pool_rounds * batch_size distinct layouts per rollout) at
+      pure-select cost per step.
+    * ``"cached"`` — each slot replays its initial layout.
+
+    The observation encoder runs every step and is folded into
+    ``obs_checksum`` so the compiler cannot dead-code-eliminate it — the
+    reported steps/s includes obs generation, like the reference's ``step``.
+    """
+    assert supports_lanes(env), env.env_id
+    k_init, k_scan = jax.random.split(key)
+
+    rounds = pool_rounds if autoreset == "pool" else 1
+    init_keys = jax.random.split(k_init, rounds * batch_size)
+    pool_b = jax.vmap(env.generate, in_axes=(0, None))(init_keys, env.params)
+    pool = jax.tree_util.tree_map(
+        lambda x: x.reshape((rounds,) + (batch_size,) + x.shape[1:]),
+        pool_b,
+    )
+    pool = jax.vmap(to_lanes)(pool)  # leaves: (R, ..., B)
+    init_ls = jax.tree_util.tree_map(lambda x: x[0], pool)
+
+    def body(carry, key_t):
+        ls, reset_count = carry
+        actions = jax.random.randint(key_t, (batch_size,), 0, 7)
+        ls, reward, term = step_lanes(env.params, ls, actions)
+        done = term | ls.truncated
+        reset_count = reset_count + done.astype(jnp.int32)
+        if autoreset == "pool":
+            fresh = _select_pool(pool, reset_count % rounds, rounds)
+        elif autoreset == "cached":
+            fresh = init_ls
+        else:
+            raise ValueError(f"unknown autoreset mode {autoreset!r}")
+        ls = _select_lanes(done, fresh, ls)
+        # Full observation encode every step, checksummed in lane layout so
+        # nothing is dead-code-eliminated and nothing transposes batch-first.
+        obj, color, obj_state, vis = obs_lanes(env.params, ls)
+        visu = vis.astype(jnp.uint8)
+        checksum = (
+            (obj * visu).astype(jnp.int32)
+            + (color * visu).astype(jnp.int32)
+            + (obj_state * visu).astype(jnp.int32)
+        ).sum()
+        return (ls, reset_count), (reward.sum(), done.sum(), checksum)
+
+    (final_ls, _), (rewards, dones, checksums) = jax.lax.scan(
+        body,
+        (init_ls, jnp.zeros((batch_size,), jnp.int32)),
+        jax.random.split(k_scan, horizon),
+    )
+    return LaneRolloutResult(
+        final_state=final_ls,
+        total_reward=rewards.sum(),
+        episodes=dones.sum().astype(jnp.int32),
+        steps=jnp.asarray(batch_size * horizon, dtype=jnp.int32),
+        obs_checksum=checksums.sum(),
+    )
