@@ -18,6 +18,10 @@ import jax
 import jax.numpy as jnp
 
 import minigrid_dynamicprogramming_tpu as mgtpu
+from minigrid_dynamicprogramming_tpu.parallel.lanes import (
+    lane_rollout,
+    supports_lanes as lane_supported,
+)
 from minigrid_dynamicprogramming_tpu.parallel.rollout import rollout
 from minigrid_dynamicprogramming_tpu.render import render_frame, render_pov
 
@@ -69,12 +73,24 @@ def benchmark(
     agent_view_fps = num_frames / (time.perf_counter() - t0)
 
     # --- the TPU-native headline: batched env-steps/s --------------------
+    # Blocking on obs_checksum forces the obs encoder to run every step —
+    # the number includes observation generation, like the reference's step.
     res = rollout(env, jax.random.PRNGKey(2), batch, None, horizon, "regen")
-    jax.block_until_ready(res.total_reward)
+    jax.block_until_ready(res.obs_checksum)
     t0 = time.perf_counter()
     res = rollout(env, jax.random.PRNGKey(3), batch, None, horizon, "regen")
-    jax.block_until_ready(res.total_reward)
+    jax.block_until_ready(res.obs_checksum)
     steps_per_s = batch * horizon / (time.perf_counter() - t0)
+
+    # --- lane-major fast path (pool auto-reset, obs checksummed) ---------
+    lane_steps_per_s = None
+    if lane_supported(env):
+        r = lane_rollout(env, jax.random.PRNGKey(4), batch, horizon, "pool")
+        jax.block_until_ready(r.obs_checksum)
+        t0 = time.perf_counter()
+        r = lane_rollout(env, jax.random.PRNGKey(5), batch, horizon, "pool")
+        jax.block_until_ready(r.obs_checksum)
+        lane_steps_per_s = batch * horizon / (time.perf_counter() - t0)
 
     results = {
         "env_id": env_id,
@@ -82,10 +98,71 @@ def benchmark(
         "render_fps": round(render_fps, 1),
         "agent_view_fps": round(agent_view_fps, 1),
         "batched_env_steps_per_s": round(steps_per_s, 1),
+        "lane_env_steps_per_s": (
+            round(lane_steps_per_s, 1) if lane_steps_per_s else None
+        ),
         "batch": batch,
     }
     for k, v in results.items():
         print(f"{k}: {v}")
+    return results
+
+
+def benchmark_dp(
+    env_id: str = "MiniGrid-DoorKey-8x8-v0",
+    batch: int = 1024,
+    n_sweeps: int = 128,
+    use_pallas: bool = False,
+) -> dict:
+    """Value-iteration sweeps/s — the BASELINE.json DP metric.
+
+    One "sweep" is a full Bellman backup over the (cfg, dir, y, x) tabular
+    state space of one layout; the rate is ``batch * n_sweeps / time``.
+    """
+    from functools import partial
+
+    from minigrid_dynamicprogramming_tpu.dp.tabular import (
+        extract_layout,
+        value_iteration,
+    )
+
+    env = mgtpu.make(env_id)
+    keys = jax.random.split(jax.random.PRNGKey(7), batch)
+    states = jax.jit(jax.vmap(env.generate, in_axes=(0, None)), static_argnums=1)(
+        keys, env.params
+    )
+    layouts = jax.jit(jax.vmap(partial(extract_layout, max_doors=2)))(states)
+
+    if use_pallas:
+        from minigrid_dynamicprogramming_tpu.dp.pallas_vi import (
+            pallas_value_iteration,
+        )
+
+        vi = jax.jit(
+            jax.vmap(
+                partial(pallas_value_iteration, gamma=0.995, n_sweeps=n_sweeps)
+            )
+        )
+    else:
+        vi = jax.jit(
+            jax.vmap(partial(value_iteration, gamma=0.995, n_sweeps=n_sweeps))
+        )
+
+    v, policy = vi(layouts)  # compile
+    jax.block_until_ready(v)
+    t0 = time.perf_counter()
+    v, policy = vi(layouts)
+    jax.block_until_ready(v)
+    sweeps_per_s = batch * n_sweeps / (time.perf_counter() - t0)
+    results = {
+        "env_id": env_id,
+        "vi_backend": "pallas" if use_pallas else "xla",
+        "vi_sweeps_per_s": round(sweeps_per_s, 1),
+        "vi_batch": batch,
+        "vi_n_sweeps": n_sweeps,
+    }
+    for k, val in results.items():
+        print(f"{k}: {val}")
     return results
 
 
@@ -97,6 +174,11 @@ def main() -> None:
     p.add_argument("--tile-size", type=int, default=32)
     p.add_argument("--batch", type=int, default=4096)
     p.add_argument("--horizon", type=int, default=256)
+    p.add_argument(
+        "--dp",
+        action="store_true",
+        help="also measure value-iteration sweeps/s (XLA, and Pallas on TPU)",
+    )
     args = p.parse_args()
     benchmark(
         args.env_id,
@@ -106,6 +188,12 @@ def main() -> None:
         args.batch,
         args.horizon,
     )
+    if args.dp:
+        benchmark_dp("MiniGrid-DoorKey-8x8-v0", use_pallas=False)
+        try:
+            benchmark_dp("MiniGrid-DoorKey-8x8-v0", use_pallas=True)
+        except Exception as e:  # Pallas needs TPU (or interpret mode)
+            print(f"vi_pallas: unavailable ({type(e).__name__})")
 
 
 if __name__ == "__main__":

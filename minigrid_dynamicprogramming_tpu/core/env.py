@@ -57,6 +57,8 @@ class Environment:
         action_map: Optional[Callable[[EnvParams, jnp.ndarray], jnp.ndarray]] = None,
         action_dim: int = 7,
         reward_range: Tuple[float, float] = (0.0, 1.0),
+        pre_step_lanes: Optional[PreStepFn] = None,
+        post_step_lanes: Optional[PostStepFn] = None,
     ):
         self.env_id = env_id
         self.params = params
@@ -67,6 +69,13 @@ class Environment:
         self.action_map = action_map
         self.action_dim = action_dim
         self.reward_range = reward_range
+        # Lane-major (batch-last) variants of the hooks for the fast path
+        # (parallel/lanes.py).  Layout-polymorphic hooks — written against
+        # ops/agnostic.py — register the SAME function object for both
+        # layouts; hooks with layout-specific indexing register a dedicated
+        # lane implementation.
+        self.pre_step_lanes = pre_step_lanes
+        self.post_step_lanes = post_step_lanes
 
     # -- pure functions (jit/vmap these) ------------------------------------
     def reset(self, key: jax.Array) -> Tuple[Dict[str, jnp.ndarray], EnvState]:

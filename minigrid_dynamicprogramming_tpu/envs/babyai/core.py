@@ -59,6 +59,7 @@ from minigrid_dynamicprogramming_tpu.core.constants import (
     STATE_OPEN,
 )
 from minigrid_dynamicprogramming_tpu.core.state import EnvParams, EnvState
+from minigrid_dynamicprogramming_tpu.ops import agnostic as AG
 
 # -- instruction encodings ---------------------------------------------------
 
@@ -283,22 +284,28 @@ def _bit(x, bit):
 def _leaf_eval(params, new, action, codes, c, l, pc_none):
     """Evaluate one leaf without committing state: returns
     (result in {0 cont, 1 succ, 2 fail}, new_pc_none, marks', carrying')
-    with the updated remembered-object bit (applied only if evaluated)."""
+    with the updated remembered-object bit (applied only if evaluated).
+
+    Layout-polymorphic: runs per-env on ``EnvState`` (vmapped) and natively
+    batched on the lane-major ``LaneState`` via the ops/agnostic.py helpers.
+    """
     kind = leaf_kind(codes, c, l)
     strict = leaf_strict(codes, c, l)
     bit1 = desc_bit(c, l, 0)
     bit2 = desc_bit(c, l, 1)
     rbit = remember_bit(c, l)
 
-    h, w = new.grid_obj.shape
-    fwd = new.agent_pos + DIR_TO_VEC_ARR[new.agent_dir]
-    fin = (fwd[0] >= 0) & (fwd[0] < w) & (fwd[1] >= 0) & (fwd[1] < h)
-    fx = jnp.clip(fwd[0], 0, w - 1)
-    fy = jnp.clip(fwd[1], 0, h - 1)
-    f_obj = new.grid_obj[fy, fx]
-    f_state = new.grid_state[fy, fx]
-    f_marks = new.marks[fy, fx]
-    f_vmarks = new.vmarks[fy, fx]
+    h, w = params.height, params.width
+    ax, ay = AG.agent_xy(new)
+    dx, dy = AG.dir_vec(new.agent_dir)
+    fwx, fwy = ax + dx, ay + dy
+    fin = (fwx >= 0) & (fwx < w) & (fwy >= 0) & (fwy < h)
+    fx = jnp.clip(fwx, 0, w - 1)
+    fy = jnp.clip(fwy, 0, h - 1)
+    f_obj = AG.read_cell(params, new, "grid_obj", fx, fy)
+    f_state = AG.read_cell(params, new, "grid_state", fx, fy)
+    f_marks = AG.read_cell(params, new, "marks", fx, fy)
+    f_vmarks = AG.read_cell(params, new, "vmarks", fx, fy)
 
     is_toggle = action == ACT_TOGGLE
     is_pickup = action == ACT_PICKUP
@@ -319,13 +326,15 @@ def _leaf_eval(params, new, action, codes, c, l, pc_none):
 
     # PutNext (verifier.py:409-433): the remembered object must be a tracked
     # mover now lying on the grid with a tracked fixed object 4-adjacent.
-    rem_move = _bit(new.marks, rbit) & _bit(new.marks, bit1)  # (H, W)
+    rem_move = _bit(new.marks, rbit) & _bit(new.marks, bit1)  # cell plane
     fixed = _bit(new.vmarks, bit2)
-    up = jnp.pad(fixed[1:], ((0, 1), (0, 0)))
-    down = jnp.pad(fixed[:-1], ((1, 0), (0, 0)))
-    left = jnp.pad(fixed[:, 1:], ((0, 0), (0, 1)))
-    right = jnp.pad(fixed[:, :-1], ((0, 0), (1, 0)))
-    put_succ = is_drop & jnp.any(rem_move & (up | down | left | right))
+    up = AG.shift_cells(params, new, fixed, 0, -1)
+    down = AG.shift_cells(params, new, fixed, 0, 1)
+    left = AG.shift_cells(params, new, fixed, -1, 0)
+    right = AG.shift_cells(params, new, fixed, 1, 0)
+    put_succ = is_drop & AG.reduce_any_cells(
+        params, new, rem_move & (up | down | left | right)
+    )
     put_fail = (strict == 1) & is_pickup & carrying_now
 
     succ = jnp.where(

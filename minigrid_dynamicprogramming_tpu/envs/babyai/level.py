@@ -153,8 +153,7 @@ def make_level(
         env_id,
         params,
         generate,
-        post_step=lambda p, k, prev, new, a, r, t: B.verify_step(
-            p, k, prev, new, a, r, t
-        ),
+        post_step=B.verify_step,
+        post_step_lanes=B.verify_step,  # layout-polymorphic via AG helpers
         mission_text=B.surface_text,
     )

@@ -19,13 +19,13 @@ import jax.numpy as jnp
 from minigrid_dynamicprogramming_tpu.core.constants import (
     COLOR_BLUE,
     COLOR_GREEN,
-    DIR_TO_VEC_ARR,
     OBJ_BALL,
     OBJ_EMPTY,
     OBJ_GOAL,
 )
 from minigrid_dynamicprogramming_tpu.core.env import Environment
 from minigrid_dynamicprogramming_tpu.core.state import EnvParams, EnvState, new_state
+from minigrid_dynamicprogramming_tpu.ops import agnostic as AG
 from minigrid_dynamicprogramming_tpu.ops import grid as G
 
 MISSION = "get to the green goal square"
@@ -76,12 +76,16 @@ def make_dynamicobstacles(
         return jnp.where(action >= 3, 0, action)
 
     def pre_step(p: EnvParams, key: jax.Array, state: EnvState, action):
+        # Layout-polymorphic (runs vmapped on EnvState and natively on the
+        # lane-major LaneState; AG draws are vmap-invariant so both layouts
+        # see identical random moves under the same per-env keys).
         # "Front not clear" is evaluated against the PRE-move grid
         # (dynamicobstacles.py:139-141).
-        d = DIR_TO_VEC_ARR[state.agent_dir]
-        fx = jnp.clip(state.agent_pos[0] + d[0], 0, p.width - 1)
-        fy = jnp.clip(state.agent_pos[1] + d[1], 0, p.height - 1)
-        fo = state.grid_obj[fy, fx]
+        dx, dy = AG.dir_vec(state.agent_dir)
+        ax, ay = AG.agent_xy(state)
+        fx = jnp.clip(ax + dx, 0, p.width - 1)
+        fy = jnp.clip(ay + dy, 0, p.height - 1)
+        fo = AG.read_cell(p, state, "grid_obj", fx, fy)
         not_clear = (fo != OBJ_EMPTY) & (fo != OBJ_GOAL)
         state = state.replace(
             aux=state.aux.at[NOT_CLEAR_SLOT].set(not_clear.astype(jnp.int32))
@@ -90,22 +94,20 @@ def make_dynamicobstacles(
         # Move each obstacle into its 3x3 neighborhood, sequentially — each
         # placement sees the previous moves (dynamicobstacles.py:143-156); a
         # fully-blocked neighborhood leaves the ball in place.
-        keys = jax.random.split(key, n_obs)
+        keys = AG.split_key(key, n_obs)
         for i in range(n_obs):
             ox = state.aux[2 * i]
             oy = state.aux[2 * i + 1]
-            valid = G.free_cell_mask(state) & G.rect_mask(
-                p.height, p.width, (ox - 1, oy - 1), (3, 3)
+            valid = AG.free_cell_mask(p, state) & AG.rect_mask(
+                p, state, (ox - 1, oy - 1), (3, 3)
             )
-            x, y, ok = G.sample_mask_pos(keys[i], valid)
-            moved = G.put_obj(state, x, y, OBJ_BALL, COLOR_BLUE)
-            moved = G.clear_cell(moved, ox, oy)
+            x, y, ok = AG.sample_mask_pos(p, keys[i], state, valid)
+            moved = AG.put_obj(p, state, x, y, OBJ_BALL, COLOR_BLUE)
+            moved = AG.clear_cell(p, moved, ox, oy)
             moved = moved.replace(
                 aux=moved.aux.at[2 * i].set(x).at[2 * i + 1].set(y)
             )
-            state = jax.tree_util.tree_map(
-                lambda a, b: jnp.where(ok, a, b), moved, state
-            )
+            state = AG.select_state(ok, moved, state)
         return state
 
     def post_step(p, key, prev, state, action, reward, terminated):
@@ -123,6 +125,8 @@ def make_dynamicobstacles(
         generate,
         pre_step=pre_step,
         post_step=post_step,
+        pre_step_lanes=pre_step,  # layout-polymorphic via AG helpers
+        post_step_lanes=post_step,  # elementwise over per-env scalars
         action_map=action_map,
         mission_text=lambda c: MISSION,
         action_dim=3,

@@ -87,5 +87,10 @@ def make_fetch(env_id: str, size: int = 8, num_objs: int = 3) -> Environment:
         )
 
     return Environment(
-        env_id, params, generate, post_step=post_step, mission_text=mission_text
+        env_id,
+        params,
+        generate,
+        post_step=post_step,
+        post_step_lanes=post_step,  # elementwise over per-env scalars
+        mission_text=mission_text,
     )

@@ -80,5 +80,10 @@ def make_gotoobject(env_id: str, size: int = 6, num_objs: int = 2) -> Environmen
         return f"go to the {IDX_TO_COLOR[int(c[0])]} {TYPE_NAMES[int(c[1])]}"
 
     return Environment(
-        env_id, params, generate, post_step=post_step, mission_text=mission_text
+        env_id,
+        params,
+        generate,
+        post_step=post_step,
+        post_step_lanes=post_step,  # elementwise over per-env scalars
+        mission_text=mission_text,
     )

@@ -81,10 +81,12 @@ def make_keycorridor(
     def mission_text(c) -> str:
         return f"pick up the {IDX_TO_COLOR[int(c[0])]} {TYPE_NAMES[int(c[1])]}"
 
+    hook = pickup_target_post_step(params)
     return Environment(
         env_id,
         params,
         generate,
-        post_step=pickup_target_post_step(params),
+        post_step=hook,
+        post_step_lanes=hook,  # elementwise over per-env scalars
         mission_text=mission_text,
     )

@@ -131,7 +131,8 @@ def make_obstructedmaze_1d(
         env_id,
         params,
         generate,
-        post_step=pickup_target_post_step(params),
+        post_step=(hook := pickup_target_post_step(params)),
+        post_step_lanes=hook,  # elementwise over per-env scalars
         mission_text=lambda c: "pick up the blue ball",
     )
 
@@ -211,6 +212,7 @@ def make_obstructedmaze_full(
         env_id,
         params,
         generate,
-        post_step=pickup_target_post_step(params),
+        post_step=(hook := pickup_target_post_step(params)),
+        post_step_lanes=hook,  # elementwise over per-env scalars
         mission_text=lambda c: "pick up the blue ball",
     )

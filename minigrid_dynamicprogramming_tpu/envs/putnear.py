@@ -12,12 +12,12 @@ import jax
 import jax.numpy as jnp
 
 from minigrid_dynamicprogramming_tpu.core.constants import (
-    DIR_TO_VEC_ARR,
     IDX_TO_COLOR,
     OBJ_EMPTY,
 )
 from minigrid_dynamicprogramming_tpu.core.env import Environment
 from minigrid_dynamicprogramming_tpu.core.state import EnvParams, new_state
+from minigrid_dynamicprogramming_tpu.ops import agnostic as AG
 from minigrid_dynamicprogramming_tpu.ops import grid as G
 from minigrid_dynamicprogramming_tpu.ops.step import success_reward
 from minigrid_dynamicprogramming_tpu.envs.gotoobject import (
@@ -94,9 +94,10 @@ def make_putnear(env_id: str, size: int = 6, num_objs: int = 2) -> Environment:
 
         # Drop resolution (putnear.py:step): reward iff the drop landed
         # (front was empty) within chebyshev 1 of the target.
-        d = DIR_TO_VEC_ARR[state.agent_dir]
-        ox = state.agent_pos[0] + d[0]
-        oy = state.agent_pos[1] + d[1]
+        dx, dy = AG.dir_vec(state.agent_dir)
+        ax, ay = AG.agent_xy(state)
+        ox = ax + dx
+        oy = ay + dy
         dropped = is_drop & pre_carrying & (~carrying_after)
         near_target = (jnp.abs(ox - state.aux[2]) <= 1) & (
             jnp.abs(oy - state.aux[3]) <= 1
@@ -116,5 +117,10 @@ def make_putnear(env_id: str, size: int = 6, num_objs: int = 2) -> Environment:
         )
 
     return Environment(
-        env_id, params, generate, post_step=post_step, mission_text=mission_text
+        env_id,
+        params,
+        generate,
+        post_step=post_step,
+        post_step_lanes=post_step,  # layout-polymorphic via AG helpers
+        mission_text=mission_text,
     )

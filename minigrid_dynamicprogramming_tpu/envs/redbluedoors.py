@@ -19,6 +19,7 @@ from minigrid_dynamicprogramming_tpu.core.constants import (
 )
 from minigrid_dynamicprogramming_tpu.core.env import Environment
 from minigrid_dynamicprogramming_tpu.core.state import EnvParams, new_state
+from minigrid_dynamicprogramming_tpu.ops import agnostic as AG
 from minigrid_dynamicprogramming_tpu.ops import grid as G
 from minigrid_dynamicprogramming_tpu.ops.step import success_reward
 
@@ -53,10 +54,16 @@ def make_redbluedoors(env_id: str, size: int = 8) -> Environment:
         return state.replace(aux=aux)
 
     def post_step(p, key, prev, state, action, reward, terminated):
-        red_before = prev.grid_state[prev.aux[1], prev.aux[0]] == STATE_OPEN
-        blue_before = prev.grid_state[prev.aux[3], prev.aux[2]] == STATE_OPEN
-        red_after = state.grid_state[state.aux[1], state.aux[0]] == STATE_OPEN
-        blue_after = state.grid_state[state.aux[3], state.aux[2]] == STATE_OPEN
+        def door_open(s, i):
+            return (
+                AG.read_cell(p, s, "grid_state", s.aux[2 * i], s.aux[2 * i + 1])
+                == STATE_OPEN
+            )
+
+        red_before = door_open(prev, 0)
+        blue_before = door_open(prev, 1)
+        red_after = door_open(state, 0)
+        blue_after = door_open(state, 1)
         # Ordering logic (redbluedoors.py:step).
         win = blue_after & red_before
         lose = (blue_after & ~red_before) | (red_after & ~blue_after & blue_before)
@@ -72,5 +79,6 @@ def make_redbluedoors(env_id: str, size: int = 8) -> Environment:
         params,
         generate,
         post_step=post_step,
+        post_step_lanes=post_step,  # layout-polymorphic via AG.read_cell
         mission_text=lambda c: MISSION,
     )

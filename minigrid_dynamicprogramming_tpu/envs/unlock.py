@@ -20,6 +20,7 @@ from minigrid_dynamicprogramming_tpu.core.constants import (
 )
 from minigrid_dynamicprogramming_tpu.core.env import Environment
 from minigrid_dynamicprogramming_tpu.core.state import EnvParams, new_state
+from minigrid_dynamicprogramming_tpu.ops import agnostic as AG
 from minigrid_dynamicprogramming_tpu.ops import grid as G
 from minigrid_dynamicprogramming_tpu.ops import roomgrid as RG
 from minigrid_dynamicprogramming_tpu.ops.step import success_reward
@@ -59,7 +60,8 @@ def make_unlock(env_id: str) -> Environment:
     def post_step(p, key, prev, state, action, reward, terminated):
         # toggle while the door ends up open (unlock.py:89-97).
         door_open = (
-            state.grid_state[state.aux[1], state.aux[0]] == STATE_OPEN
+            AG.read_cell(p, state, "grid_state", state.aux[0], state.aux[1])
+            == STATE_OPEN
         )
         won = (action == 5) & door_open
         reward = jnp.where(
@@ -72,6 +74,7 @@ def make_unlock(env_id: str) -> Environment:
         params,
         generate,
         post_step=post_step,
+        post_step_lanes=post_step,  # layout-polymorphic via AG.read_cell
         mission_text=lambda c: "open the door",
     )
 
@@ -101,11 +104,13 @@ def _make_pickup_variant(env_id: str, blocked: bool) -> Environment:
         mission = state.mission.at[0].set(box_color)
         return state.replace(aux=aux, mission=mission)
 
+    hook = pickup_target_post_step(params)
     return Environment(
         env_id,
         params,
         generate,
-        post_step=pickup_target_post_step(params),
+        post_step=hook,
+        post_step_lanes=hook,  # elementwise over per-env scalars
         mission_text=lambda c: f"pick up the {IDX_TO_COLOR[int(c[0])]} box",
     )
 

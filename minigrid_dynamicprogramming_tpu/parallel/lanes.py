@@ -94,6 +94,13 @@ class LaneState:
     mission: jnp.ndarray  # (MS, B) i32
     rng: jnp.ndarray  # (B, 2) u32
 
+    @property
+    def agent_pos(self) -> jnp.ndarray:
+        """(2, B) stack so layout-agnostic hooks can write
+        ``state.agent_pos[0]`` and get the per-env x vector in both layouts
+        (EnvState stores (2,) per env)."""
+        return jnp.stack([self.agent_x, self.agent_y])
+
 
 def to_lanes(state: EnvState) -> LaneState:
     """Vmapped (batch-first) state -> lane-major state."""
@@ -510,13 +517,48 @@ def obs_image_lanes(params: EnvParams, ls: LaneState) -> jnp.ndarray:
 
 
 def supports_lanes(env: Environment) -> bool:
-    """True when the env's semantics are fully covered by the lane kernels
-    (core MDP, no per-family hooks)."""
-    return (
-        env.pre_step is None
-        and env.post_step is None
-        and env.action_map is None
+    """True when the env's semantics are fully covered by the lane kernels:
+    core MDP plus lane-capable hooks (``pre_step_lanes``/``post_step_lanes``
+    — layout-polymorphic hooks register the same function for both layouts;
+    ``action_map`` is elementwise and always lane-safe)."""
+    return (env.pre_step is None or env.pre_step_lanes is not None) and (
+        env.post_step is None or env.post_step_lanes is not None
     )
+
+
+def step_lanes_env(
+    env: Environment,
+    keys,
+    ls: LaneState,
+    action: jnp.ndarray,
+) -> Tuple[LaneState, jnp.ndarray, jnp.ndarray]:
+    """Lane-major mirror of :meth:`Environment.step` including the per-family
+    hooks (the reference's per-subclass ``step`` overrides).
+
+    ``keys`` is a per-env ``(B, 2)`` key array (or None for hook-free envs);
+    it is split exactly like the vmapped path splits its per-env key, so the
+    two paths are bit-identical under the same keys.  Returns
+    ``(new_state, reward, terminated)``; ``truncated`` lives on the state.
+    """
+    params = env.params
+    if env.action_map is not None:
+        action = env.action_map(params, action)
+    prev = ls
+    if env.pre_step_lanes is not None or env.post_step_lanes is not None:
+        if keys is None:
+            k_pre = k_post = None
+        else:
+            ks = jax.vmap(lambda k: jax.random.split(k, 2))(keys)
+            k_pre, k_post = ks[:, 0], ks[:, 1]
+    if env.pre_step_lanes is not None:
+        ls = env.pre_step_lanes(params, k_pre, ls, action)
+    ls, reward, term = step_lanes(params, ls, action)
+    if env.post_step_lanes is not None:
+        ls, reward, term = env.post_step_lanes(
+            params, k_post, prev, ls, action, reward, term
+        )
+        ls = ls.replace(terminated=term)
+    return ls, reward, term
 
 
 class LaneRolloutResult(NamedTuple):
@@ -524,7 +566,9 @@ class LaneRolloutResult(NamedTuple):
     total_reward: jnp.ndarray  # () f32
     episodes: jnp.ndarray  # () i32
     steps: jnp.ndarray  # () i32
-    obs_checksum: jnp.ndarray  # () i32 — keeps the obs encoder live
+    obs_checksum: jnp.ndarray  # () u32 — wrap-around tag keeping the obs encoder live
+    resets_per_env: jnp.ndarray  # (B,) i32 — episode resets per lane (for
+    # per-device episode accounting in sharded runs)
 
 
 # LaneState fields whose batch axis is FIRST instead of last.
@@ -562,7 +606,33 @@ def _select_pool(pool, r_idx: jnp.ndarray, rounds: int) -> LaneState:
     return LaneState(**out)
 
 
-@partial(jax.jit, static_argnums=(0, 2, 3, 4, 5))
+def lane_sharding(mesh, field: str, ndim: int, extra_leading: int = 0):
+    """NamedSharding for one LaneState field: envs (the LAST axis for planes
+    and scalars, axis -2 for ``rng``) sharded over the mesh's ``env`` axis.
+
+    ``extra_leading`` accounts for stacked leading axes (e.g. the pool's
+    rounds axis)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    if field in _BATCH_FIRST_FIELDS:  # rng: (..., B, 2)
+        spec = (None,) * (extra_leading + ndim - 2) + ("env", None)
+    else:  # (..., B)
+        spec = (None,) * (extra_leading + ndim - 1) + ("env",)
+    return NamedSharding(mesh, P(*spec))
+
+
+def shard_lanes(ls: LaneState, mesh, extra_leading: int = 0) -> LaneState:
+    """Constrain every field of a lane-major state to env-axis sharding
+    (usable both outside jit as device_put and inside as a constraint)."""
+    out = {}
+    for name in ls.__dataclass_fields__:
+        leaf = getattr(ls, name)
+        sh = lane_sharding(mesh, name, leaf.ndim - extra_leading, extra_leading)
+        out[name] = jax.lax.with_sharding_constraint(leaf, sh)
+    return LaneState(**out)
+
+
+@partial(jax.jit, static_argnums=(0, 2, 3, 4, 5, 6))
 def lane_rollout(
     env: Environment,
     key: jax.Array,
@@ -570,6 +640,7 @@ def lane_rollout(
     horizon: int = 256,
     autoreset: str = "pool",
     pool_rounds: int = 4,
+    mesh=None,
 ) -> LaneRolloutResult:
     """Random-policy rollout on the lane-major fast path.
 
@@ -596,12 +667,27 @@ def lane_rollout(
         pool_b,
     )
     pool = jax.vmap(to_lanes)(pool)  # leaves: (R, ..., B)
+    if mesh is not None:
+        # Env axis sharded over the mesh; generation/stepping then runs
+        # fully parallel with zero cross-device communication (envs are
+        # independent) and collectives appear only in the final reductions.
+        pool = shard_lanes(pool, mesh, extra_leading=1)
     init_ls = jax.tree_util.tree_map(lambda x: x[0], pool)
+
+    hooked = (
+        env.pre_step_lanes is not None or env.post_step_lanes is not None
+    )
 
     def body(carry, key_t):
         ls, reset_count = carry
-        actions = jax.random.randint(key_t, (batch_size,), 0, 7)
-        ls, reward, term = step_lanes(env.params, ls, actions)
+        k_act, k_env = jax.random.split(key_t)
+        actions = jax.random.randint(
+            k_act, (batch_size,), 0, env.action_dim
+        )
+        keys = (
+            jax.random.split(k_env, batch_size) if hooked else None
+        )
+        ls, reward, term = step_lanes_env(env, keys, ls, actions)
         done = term | ls.truncated
         reset_count = reset_count + done.astype(jnp.int32)
         if autoreset == "pool":
@@ -615,14 +701,16 @@ def lane_rollout(
         # nothing is dead-code-eliminated and nothing transposes batch-first.
         obj, color, obj_state, vis = obs_lanes(env.params, ls)
         visu = vis.astype(jnp.uint8)
+        # uint32 wrap-around tag (not a stable checksum): its only job is to
+        # keep the obs encoder live against DCE; wrapping is by design.
         checksum = (
-            (obj * visu).astype(jnp.int32)
-            + (color * visu).astype(jnp.int32)
-            + (obj_state * visu).astype(jnp.int32)
-        ).sum()
+            (obj * visu).astype(jnp.uint32)
+            + (color * visu).astype(jnp.uint32)
+            + (obj_state * visu).astype(jnp.uint32)
+        ).sum(dtype=jnp.uint32)
         return (ls, reset_count), (reward.sum(), done.sum(), checksum)
 
-    (final_ls, _), (rewards, dones, checksums) = jax.lax.scan(
+    (final_ls, reset_count), (rewards, dones, checksums) = jax.lax.scan(
         body,
         (init_ls, jnp.zeros((batch_size,), jnp.int32)),
         jax.random.split(k_scan, horizon),
@@ -632,5 +720,6 @@ def lane_rollout(
         total_reward=rewards.sum(),
         episodes=dones.sum().astype(jnp.int32),
         steps=jnp.asarray(batch_size * horizon, dtype=jnp.int32),
-        obs_checksum=checksums.sum(),
+        obs_checksum=checksums.sum(dtype=jnp.uint32),
+        resets_per_env=reset_count,
     )

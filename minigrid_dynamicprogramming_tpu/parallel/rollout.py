@@ -75,6 +75,10 @@ class RolloutResult(NamedTuple):
     total_reward: jnp.ndarray  # () f32 — summed over batch and time
     episodes: jnp.ndarray  # () i32 — number of terminations+truncations
     steps: jnp.ndarray  # () i32 — total env steps taken
+    obs_checksum: jnp.ndarray  # () u32 — wrap-around tag over every obs image;
+    # folded through the scan so XLA cannot dead-code-eliminate the obs
+    # encoder (the reported steps/s includes obs generation, like the
+    # reference's step).
 
 
 def random_policy(num_actions: int = 7):
@@ -116,9 +120,10 @@ def rollout(
             step_keys, state, init_state, actions
         )
         done = term | trunc
-        return state, (reward.sum(), done.sum())
+        checksum = obs["image"].astype(jnp.uint32).sum(dtype=jnp.uint32)
+        return state, (reward.sum(), done.sum(), checksum)
 
-    final_state, (rewards, dones) = jax.lax.scan(
+    final_state, (rewards, dones, checksums) = jax.lax.scan(
         body, init_state, jax.random.split(k_scan, horizon)
     )
     return RolloutResult(
@@ -126,4 +131,5 @@ def rollout(
         total_reward=rewards.sum(),
         episodes=dones.sum().astype(jnp.int32),
         steps=jnp.asarray(batch_size * horizon, dtype=jnp.int32),
+        obs_checksum=checksums.sum(dtype=jnp.uint32),
     )

@@ -104,8 +104,9 @@ def test_lane_rollout_runs_and_resets():
     assert int(res.episodes) > 0  # max_steps=250 < 300 forces resets
     assert int(res.steps) == 32 * 300
     assert int(res.obs_checksum) != 0
-    # step_count must have been reset below the horizon for done slots
-    assert int(res.final_state.step_count.max()) <= 300
+    # Strictly below the max_steps=250 truncation limit: proves truncated
+    # lanes were actually replaced by fresh episodes (same-step reset).
+    assert int(res.final_state.step_count.max()) < 250
 
 
 def test_lane_rollout_cached_mode():
@@ -114,3 +115,94 @@ def test_lane_rollout_cached_mode():
         env, jax.random.PRNGKey(4), 16, horizon=64, autoreset="cached"
     )
     assert int(res.steps) == 16 * 64
+
+
+# -- hooked envs: lane hooks vs vmapped hooks --------------------------------
+
+# One representative per hooked family (pre_step / post_step / action_map).
+HOOKED_ENVS = [
+    "MiniGrid-Fetch-8x8-N3-v0",
+    "MiniGrid-GoToDoor-8x8-v0",
+    "MiniGrid-GoToObject-8x8-N2-v0",
+    "MiniGrid-MemoryS11-v0",
+    "MiniGrid-RedBlueDoors-8x8-v0",
+    "MiniGrid-Unlock-v0",
+    "MiniGrid-UnlockPickup-v0",
+    "MiniGrid-BlockedUnlockPickup-v0",
+    "MiniGrid-KeyCorridorS3R3-v0",
+    "MiniGrid-PutNear-8x8-N3-v0",
+    "MiniGrid-Dynamic-Obstacles-8x8-v0",
+    "MiniGrid-ObstructedMaze-1Dlhb-v0",
+    "BabyAI-GoToRedBall-v0",
+    "BabyAI-OpenTwoDoors-v0",
+    "BabyAI-PutNextLocal-v0",
+    "BabyAI-ActionObjDoor-v0",
+    "BabyAI-SynthSeq-v0",
+]
+
+
+def _full_step_parity(env_id, batch=8, steps=24, seed=0):
+    """Full env.step (hooks + base + truncation): lane path must be
+    bit-identical to the vmapped path under the same per-env keys."""
+    env = mgtpu.make(env_id)
+    assert lanes.supports_lanes(env), env_id
+    key = jax.random.PRNGKey(seed)
+    k_init, k_run = jax.random.split(key)
+    state = _batched_state(env, k_init, batch)
+    ls = lanes.to_lanes(state)
+
+    def vstep(keys, st, act):
+        _, ns, r, te, tr, _ = jax.vmap(env.step)(keys, st, act)
+        return ns, r, te
+
+    vstep = jax.jit(vstep)
+    lstep = jax.jit(lambda keys, s, act: lanes.step_lanes_env(env, keys, s, act))
+
+    ks = jax.random.split(k_run, steps)
+    for t in range(steps):
+        ka, ke = jax.random.split(ks[t])
+        act = jax.random.randint(ka, (batch,), 0, env.action_dim)
+        keys = jax.random.split(ke, batch)
+        state, reward_v, term_v = vstep(keys, state, act)
+        ls, reward_l, term_l = lstep(keys, ls, act)
+        np.testing.assert_array_equal(np.asarray(term_v), np.asarray(term_l))
+        np.testing.assert_allclose(
+            np.asarray(reward_v), np.asarray(reward_l), rtol=0, atol=0,
+            err_msg=f"{env_id} step {t}",
+        )
+        back = lanes.from_lanes(env.params, ls)
+        for name in state.__dataclass_fields__:
+            np.testing.assert_array_equal(
+                np.asarray(getattr(state, name)),
+                np.asarray(getattr(back, name)),
+                err_msg=f"{env_id} step {t} field {name}",
+            )
+
+
+@pytest.mark.parametrize("env_id", HOOKED_ENVS)
+def test_hooked_step_parity(env_id):
+    _full_step_parity(env_id)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("env_id", mgtpu.registered_ids())
+def test_hooked_step_parity_all_ids(env_id):
+    """Full-registry sweep (every one of the 171 ids steps bit-identically
+    on the lane path); run with ``-m slow``."""
+    _full_step_parity(env_id, batch=4, steps=10)
+
+
+def test_all_ids_support_lanes():
+    for env_id in mgtpu.registered_ids():
+        assert lanes.supports_lanes(mgtpu.make(env_id)), env_id
+
+
+def test_lane_rollout_hooked_env_runs():
+    """lane_rollout end-to-end on a hooked env (BabyAI verifier in lanes)."""
+    env = mgtpu.make("BabyAI-GoToRedBallGrey-v0")
+    res = lanes.lane_rollout(
+        env, jax.random.PRNGKey(5), 16, horizon=64, autoreset="pool",
+        pool_rounds=2,
+    )
+    assert int(res.steps) == 16 * 64
+    assert int(res.obs_checksum) != 0
