@@ -1,0 +1,126 @@
+"""Seed-matched generation + trajectory parity (no snapshotting).
+
+Both sides start from nothing but ``(env_id, seed)``:
+
+* the reference resets through Gymnasium (`env.reset(seed=...)`);
+* our side generates the layout with the NumPy parity twin
+  (utils/parity_twin.py) — which replays the reference's PCG64 draw order
+  without calling the reference — and uploads it as a device ``EnvState``.
+
+Layout tests assert the generated grids are identical; trajectory tests
+then drive the device step kernels against the reference episode and
+require bit-exact observations/rewards/termination, closing the SURVEY
+§7.3.1 "parity twin" requirement end-to-end.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+import jax
+
+from minigrid_dynamicprogramming_tpu.utils.parity_twin import (
+    twin_ids,
+    twin_layout,
+    twin_reset,
+)
+
+from .oracle import action_script, make_reference_env
+
+FAST_SEEDS = list(range(12))
+SLOW_SEEDS = list(range(200))
+
+
+def _assert_layout_matches(env_id: str, seed: int) -> None:
+    ref_env, _ = make_reference_env(env_id, seed)
+    ref = ref_env.unwrapped
+    layout = twin_layout(env_id, seed)
+
+    enc = ref.grid.encode()  # (w, h, 3)
+    np.testing.assert_array_equal(
+        layout.grid_obj, enc[:, :, 0].T, err_msg=f"{env_id} seed={seed} obj plane"
+    )
+    np.testing.assert_array_equal(
+        layout.grid_color, enc[:, :, 1].T, err_msg=f"{env_id} seed={seed} color"
+    )
+    np.testing.assert_array_equal(
+        layout.grid_state, enc[:, :, 2].T, err_msg=f"{env_id} seed={seed} state"
+    )
+    assert layout.agent_pos == (int(ref.agent_pos[0]), int(ref.agent_pos[1])), (
+        f"{env_id} seed={seed} agent_pos"
+    )
+    assert layout.agent_dir == int(ref.agent_dir), f"{env_id} seed={seed} agent_dir"
+
+    if "obstacles" in layout.extra:
+        ref_obs_pos = [tuple(map(int, o.cur_pos)) for o in ref.obstacles]
+        assert layout.extra["obstacles"] == ref_obs_pos, f"{env_id} seed={seed}"
+    if "max_steps" in layout.extra:
+        assert layout.extra["max_steps"] == int(ref.max_steps), f"{env_id} seed={seed}"
+    if "desc_color" in layout.extra:
+        desc = getattr(ref.instrs, "desc", None)
+        assert desc is not None
+        assert layout.extra["desc_color"] == desc.color
+        assert layout.extra["desc_type"] == desc.type
+        ref_matches = sorted(tuple(map(int, p)) for p in desc.obj_poss)
+        assert sorted(layout.extra["matches"]) == ref_matches
+    ref_env.close()
+
+
+@pytest.mark.parametrize("env_id", twin_ids())
+def test_layout_parity(env_id):
+    for seed in FAST_SEEDS:
+        _assert_layout_matches(env_id, seed)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("env_id", twin_ids())
+def test_layout_parity_deep(env_id):
+    for seed in SLOW_SEEDS:
+        _assert_layout_matches(env_id, seed)
+
+
+# Deterministic-transition configs: the full episode must match from seed
+# alone.  (DynamicObstacles moves its balls through the RNG each step, so it
+# is covered by the layout test + behavioral tests in test_hook_parity.)
+TRAJ_ENVS = [
+    "MiniGrid-Empty-5x5-v0",
+    "MiniGrid-Empty-8x8-v0",
+    "MiniGrid-FourRooms-v0",
+    "MiniGrid-DoorKey-8x8-v0",
+    "MiniGrid-LavaCrossingS9N2-v0",
+    "MiniGrid-SimpleCrossingS9N1-v0",
+    "BabyAI-GoToDoor-v0",
+    "BabyAI-UnlockPickup-v0",
+]
+
+
+@pytest.mark.parametrize("env_id", TRAJ_ENVS)
+@pytest.mark.parametrize("seed", [0, 7, 23])
+def test_trajectory_parity_from_seed(env_id, seed, n_steps=150):
+    ref_env, ref_obs = make_reference_env(env_id, seed)
+    state, env = twin_reset(env_id, seed)
+
+    obs0 = jax.jit(env.observation)(state)
+    np.testing.assert_array_equal(
+        np.asarray(obs0["image"]), ref_obs["image"],
+        err_msg=f"{env_id} seed={seed} reset obs",
+    )
+
+    step_fn = jax.jit(env.step)
+    rng = np.random.default_rng(seed + 1234)
+    acts = action_script(rng, n_steps)
+    key = jax.random.PRNGKey(0)
+    for t, a in enumerate(acts):
+        ref_obs, ref_r, ref_term, ref_trunc, _ = ref_env.step(int(a))
+        key, k = jax.random.split(key)
+        obs, state, r, term, trunc, _ = step_fn(k, state, np.int32(a))
+        msg = f"{env_id} seed={seed} t={t}"
+        np.testing.assert_array_equal(np.asarray(obs["image"]), ref_obs["image"], msg)
+        assert int(obs["direction"]) == int(ref_obs["direction"]), msg
+        np.testing.assert_allclose(float(r), float(ref_r), rtol=1e-6, err_msg=msg)
+        assert bool(term) == bool(ref_term), msg
+        assert bool(trunc) == bool(ref_trunc), msg
+        if ref_term or ref_trunc:
+            break
+    ref_env.close()
