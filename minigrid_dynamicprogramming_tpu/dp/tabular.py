@@ -67,12 +67,49 @@ from minigrid_dynamicprogramming_tpu.core.state import EnvState
 __all__ = [
     "TabularLayout",
     "extract_layout",
+    "assert_dp_scope",
     "value_iteration",
     "greedy_action",
     "steps_to_go",
     "env_return",
     "solve",
 ]
+
+
+def assert_dp_scope(state: EnvState, max_doors: int) -> None:
+    """Host-side scope check for this module and dp/pallas_vi.py.
+
+    Raises if the layout violates the solvers' domain assumptions (doors
+    beyond the slot budget that are not already open, or more than one
+    key).  ``extract_layout`` silently freezes overflow doors as walls —
+    sound for open doors only — and the Pallas kernel's per-cell toggle
+    table indexes one door slot per front cell, so an un-slotted closed
+    door would make both solvers quietly wrong.  Call this (eagerly, on
+    concrete states) before trusting values on a new env family; the
+    key-position domain lives in dp/tabular_key.py.
+    """
+    import numpy as np
+
+    obj = np.asarray(state.grid_obj)
+    st = np.asarray(state.grid_state)
+    # Slots go to doors in raster order; any NON-OPEN door past the budget
+    # is frozen as a wall by extract_layout — unsound.
+    door_states = st.ravel()[(obj == OBJ_DOOR).ravel()]  # raster order
+    overflow = door_states[max_doors:]
+    if (overflow != STATE_OPEN).any():
+        raise ValueError(
+            f"layout has {door_states.size} doors but the DP budget is "
+            f"max_doors={max_doors}, and {(overflow != STATE_OPEN).sum()} "
+            "overflow door(s) are not open; they would be frozen as walls "
+            "and values would be wrong"
+        )
+    n_keys = int((obj == OBJ_KEY).sum()) + int(
+        np.asarray(state.carrying_obj) == OBJ_KEY
+    )
+    if n_keys > 1:
+        raise ValueError(
+            f"layout has {n_keys} keys; the tabular domain models one"
+        )
 
 
 class TabularLayout(NamedTuple):

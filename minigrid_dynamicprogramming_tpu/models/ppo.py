@@ -27,7 +27,10 @@ from flax import struct
 
 from minigrid_dynamicprogramming_tpu.core.env import Environment
 from minigrid_dynamicprogramming_tpu.models.nets import ActorCritic, init_params
-from minigrid_dynamicprogramming_tpu.parallel.rollout import make_autoreset_step
+from minigrid_dynamicprogramming_tpu.parallel.rollout import (
+    make_autoreset_step,
+    make_pool_autoreset_step,
+)
 from minigrid_dynamicprogramming_tpu.parallel.sharding import (
     env_mesh,
     shard_batch,
@@ -47,7 +50,12 @@ class PPOConfig:
     ent_coef: float = struct.field(pytree_node=False, default=0.01)
     lr: float = struct.field(pytree_node=False, default=2.5e-4)
     max_grad_norm: float = struct.field(pytree_node=False, default=0.5)
-    autoreset: str = struct.field(pytree_node=False, default="regen")
+    # "pool" (default) cycles num_envs * pool_rounds pregenerated layouts at
+    # gather cost per reset; "regen" pays full on-device generation in the
+    # reset branch of EVERY step (generation-bound on BabyAI); "cached"
+    # replays each slot's initial layout.
+    autoreset: str = struct.field(pytree_node=False, default="pool")
+    pool_rounds: int = struct.field(pytree_node=False, default=4)
 
 
 class TrainState(NamedTuple):
@@ -57,6 +65,8 @@ class TrainState(NamedTuple):
     obs: Any  # batched observation dict
     key: jax.Array
     update_idx: jnp.ndarray
+    pool: Any = None  # (R, B, ...) layout pool, autoreset="pool" only
+    reset_count: Any = None  # (B,) i32 per-slot episode counter
 
 
 class UpdateMetrics(NamedTuple):
@@ -103,20 +113,45 @@ class PPO:
             optax.clip_by_global_norm(config.max_grad_norm),
             optax.adam(config.lr, eps=1e-5),
         )
-        self._step = jax.vmap(make_autoreset_step(env, config.autoreset))
+        if config.autoreset == "pool":
+            # pool leaves are (R, B, ...): env axis is 1
+            self._step = jax.vmap(
+                make_pool_autoreset_step(env), in_axes=(0, 0, 1, 0, 0)
+            )
+        else:
+            self._step = jax.vmap(make_autoreset_step(env, config.autoreset))
         self._update = jax.jit(self._update_impl, donate_argnums=(0,))
 
     # -- initialization ------------------------------------------------------
     def init(self, key: jax.Array) -> TrainState:
+        cfg = self.config
         k_params, k_envs, k_loop = jax.random.split(key, 3)
         params = init_params(self.model, k_params, self.env)
         opt_state = self.tx.init(params)
-        env_keys = jax.random.split(k_envs, self.config.num_envs)
-        env_state = jax.jit(
-            jax.vmap(self.env.generate, in_axes=(0, None)),
-            static_argnums=(1,),
-        )(env_keys, self.env.params)
-        env_state = shard_batch(env_state, self.mesh)
+        gen = jax.jit(
+            jax.vmap(self.env.generate, in_axes=(0, None)), static_argnums=(1,)
+        )
+        pool = reset_count = None
+        if cfg.autoreset == "pool":
+            pool_keys = jax.random.split(
+                k_envs, cfg.pool_rounds * cfg.num_envs
+            )
+            pool_flat = gen(pool_keys, self.env.params)
+            pool = jax.tree_util.tree_map(
+                lambda x: x.reshape(
+                    (cfg.pool_rounds, cfg.num_envs) + x.shape[1:]
+                ),
+                pool_flat,
+            )
+            pool = shard_batch(pool, self.mesh, axis=1)
+            env_state = jax.tree_util.tree_map(lambda x: x[0], pool)
+            reset_count = shard_batch(
+                jnp.zeros((cfg.num_envs,), jnp.int32), self.mesh
+            )
+        else:
+            env_keys = jax.random.split(k_envs, cfg.num_envs)
+            env_state = gen(env_keys, self.env.params)
+            env_state = shard_batch(env_state, self.mesh)
         obs = jax.jit(jax.vmap(self.env.observation))(env_state)
         return TrainState(
             params=params,
@@ -125,6 +160,8 @@ class PPO:
             obs=obs,
             key=k_loop,
             update_idx=jnp.zeros((), jnp.int32),
+            pool=pool,
+            reset_count=reset_count,
         )
 
     # -- one full PPO update (jitted) ----------------------------------------
@@ -137,7 +174,7 @@ class PPO:
 
         # ---- collect a rollout entirely on device --------------------------
         def rollout_body(carry, key_t):
-            env_state, obs = carry
+            env_state, obs, reset_count = carry
             k_act, k_step = jax.random.split(key_t)
             logits, value = self.model.apply(ts.params, obs)
             action = jax.random.categorical(k_act, logits)
@@ -145,16 +182,25 @@ class PPO:
                 jnp.arange(B), action
             ]
             step_keys = jax.random.split(k_step, B)
-            next_obs, env_state, reward, term, trunc = self._step(
-                step_keys, env_state, env_state, action
-            )
+            if cfg.autoreset == "pool":
+                next_obs, env_state, reward, term, trunc, reset_count = (
+                    self._step(
+                        step_keys, env_state, ts.pool, reset_count, action
+                    )
+                )
+            else:
+                next_obs, env_state, reward, term, trunc = self._step(
+                    step_keys, env_state, env_state, action
+                )
             done = term | trunc
             tr = (obs, action, logp, value, reward, done)
-            return (env_state, next_obs), tr
+            return (env_state, next_obs, reset_count), tr
 
         key, k_scan = jax.random.split(ts.key)
-        (env_state, last_obs), traj = jax.lax.scan(
-            rollout_body, (ts.env_state, ts.obs), jax.random.split(k_scan, T)
+        (env_state, last_obs, reset_count), traj = jax.lax.scan(
+            rollout_body,
+            (ts.env_state, ts.obs, ts.reset_count),
+            jax.random.split(k_scan, T),
         )
         obs_t, actions, logps, values, rewards, dones = traj
 
@@ -250,6 +296,8 @@ class PPO:
             obs=last_obs,
             key=key,
             update_idx=ts.update_idx + 1,
+            pool=ts.pool,
+            reset_count=reset_count,
         )
         return new_ts, out
 

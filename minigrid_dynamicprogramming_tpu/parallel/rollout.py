@@ -70,6 +70,44 @@ def make_autoreset_step(env: Environment, mode: str = "regen"):
     return step
 
 
+def make_pool_autoreset_step(env: Environment):
+    """Pool auto-reset in the vmapped (batch-first) layout.
+
+    ``pool_env`` holds one slot's pregenerated layouts with a leading
+    rounds axis ``(R, ...)``; the k-th reset of the slot draws round
+    ``k % R``, giving fresh layouts per episode at gather cost instead of
+    paying full regeneration every step (the ``"regen"`` trap this module's
+    header describes).  Mirrors the lane path's pool mode
+    (parallel/lanes.py ``_select_pool``), except the reset state's ``rng``
+    is refreshed from the step key so replayed rounds do not replay their
+    episode randomness.
+
+    Per-env signature (vmap with ``in_axes=(0, 0, 1, 0, 0)``):
+    ``step(key, state, pool_env, reset_count, action) ->
+    (obs, state, reward, term, trunc, reset_count)``.
+    """
+
+    def step(key, state: EnvState, pool_env, reset_count, action):
+        k_step, k_reset = jax.random.split(key)
+        obs, ns, reward, term, trunc, _ = env.step(k_step, state, action)
+        done = term | trunc
+        new_count = reset_count + done.astype(jnp.int32)
+        rounds = jax.tree_util.tree_leaves(pool_env)[0].shape[0]
+        fresh = jax.tree_util.tree_map(
+            lambda x: x[new_count % rounds], pool_env
+        )
+        fresh = fresh.replace(rng=k_reset)
+        ns = _where_done(done, fresh, ns)
+        obs = {
+            "image": jnp.where(done, env.observation(fresh)["image"], obs["image"]),
+            "direction": jnp.where(done, fresh.agent_dir, obs["direction"]),
+            "mission": jnp.where(done, fresh.mission, obs["mission"]),
+        }
+        return obs, ns, reward, term, trunc, new_count
+
+    return step
+
+
 class RolloutResult(NamedTuple):
     final_state: EnvState
     total_reward: jnp.ndarray  # () f32 — summed over batch and time

@@ -39,14 +39,16 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(tree, mesh: Mesh):
-    """Place a batched pytree with its leading axis sharded over the mesh."""
-    sh = batch_sharding(mesh)
+def shard_batch(tree, mesh: Mesh, axis: int = 0):
+    """Place a batched pytree with its env axis sharded over the mesh.
+
+    ``axis`` selects which axis is the env-batch axis (e.g. 1 for a layout
+    pool whose leading axis is the pool-round index)."""
 
     def place(x):
-        return jax.device_put(
-            x, NamedSharding(mesh, P(*((ENV_AXIS,) + (None,) * (x.ndim - 1))))
-        )
+        spec = [None] * x.ndim
+        spec[axis] = ENV_AXIS
+        return jax.device_put(x, NamedSharding(mesh, P(*spec)))
 
     return jax.tree_util.tree_map(place, tree)
 

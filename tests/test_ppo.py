@@ -58,3 +58,43 @@ def test_ppo_on_babyai_mission_obs():
     ts = ppo.init(jax.random.PRNGKey(2))
     ts, m = ppo.update(ts)
     assert np.isfinite(float(m.loss))
+
+
+def test_ppo_pool_autoreset_matches_regen_shapes():
+    """Pool mode (the production default) must produce identically-shaped
+    train states and metrics to regen mode, with the pool cycling fresh
+    layouts (reset_count advances when episodes end)."""
+    env = mgtpu.make("MiniGrid-Empty-5x5-v0")
+    mesh = env_mesh()
+    cfgs = {
+        "pool": PPOConfig(
+            num_envs=64, rollout_len=16, epochs=1, num_minibatches=2,
+            autoreset="pool", pool_rounds=3,
+        ),
+        "regen": PPOConfig(
+            num_envs=64, rollout_len=16, epochs=1, num_minibatches=2,
+            autoreset="regen",
+        ),
+    }
+    out = {}
+    for name, cfg in cfgs.items():
+        ppo = PPO(env, cfg, mesh=mesh)
+        ts = ppo.init(jax.random.PRNGKey(0))
+        ts, m = ppo.update(ts)
+        out[name] = (ts, m)
+    ts_p, m_p = out["pool"]
+    ts_r, m_r = out["regen"]
+    assert ts_p.env_state.grid_obj.shape == ts_r.env_state.grid_obj.shape
+    assert jax.tree_util.tree_structure(ts_p.params) == jax.tree_util.tree_structure(ts_r.params)
+    for v in m_p:
+        assert np.all(np.isfinite(np.asarray(v)))
+    # the pool has R x B distinct layouts and stays sharded on the env axis
+    assert ts_p.pool.grid_obj.shape[:2] == (3, 64)
+    assert len(ts_p.pool.grid_obj.sharding.device_set) == 8
+    # random-ish policy on Empty-5x5 (max_steps=100) ends episodes within
+    # 16 steps only occasionally; run more updates so resets happen
+    ppo = PPO(env, cfgs["pool"], mesh=mesh)
+    ts = ppo.init(jax.random.PRNGKey(1))
+    for _ in range(8):
+        ts, m = ppo.update(ts)
+    assert int(np.asarray(ts.reset_count).max()) > 0
