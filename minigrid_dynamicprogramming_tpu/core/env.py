@@ -125,5 +125,16 @@ class Environment:
         return self._mission_text(np.asarray(mission_codes))
 
     @property
+    def mission_space(self):
+        """The string-facing mission space for this env id
+        (core/mission.py; reference analog minigrid_env.py:72-84's
+        observation-space mission entry)."""
+        from minigrid_dynamicprogramming_tpu.core.mission import (
+            mission_space_for,
+        )
+
+        return mission_space_for(self.env_id)
+
+    @property
     def default_params(self) -> EnvParams:
         return self.params

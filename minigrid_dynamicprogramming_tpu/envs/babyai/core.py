@@ -50,6 +50,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from minigrid_dynamicprogramming_tpu.core.constants import (
+    ACT_DONE,
     ACT_DROP,
     ACT_PICKUP,
     ACT_TOGGLE,
@@ -78,6 +79,10 @@ AUX_B_DONE = 13
 AUX_LEAF_DONE = 14  # .. 17 (clause*2 + leaf)
 AUX_PC_NONE = 18  # .. 21
 AUX_MAX_STEPS = 22
+# BABYAI_DONE_ACTIONS mode (verifier.py:25, :230-243): bit i of this slot is
+# leaf i's "lastStepMatch" — the instruction was satisfied on the previous
+# verified step, so a `done` action now succeeds.
+AUX_LAST_MATCH = 23
 
 # mark bits: desc slot = ((clause*2 + leaf)*2 + d); remember bit per leaf.
 N_DESC = 8
@@ -265,6 +270,7 @@ def init_instr(params: EnvParams, state: EnvState, codes) -> EnvState:
         aux = aux.at[AUX_LEAF_DONE + i].set(0)
         aux = aux.at[AUX_PC_NONE + i].set(1)
     aux = aux.at[AUX_MAX_STEPS].set(max_steps.astype(jnp.int32))
+    aux = aux.at[AUX_LAST_MATCH].set(0)
     return state.replace(
         marks=marks,
         vmarks=marks,
@@ -408,6 +414,25 @@ def verify_step(
                 params, new, action, codes, c, l, aux[AUX_PC_NONE + i]
             )
 
+    # BABYAI_DONE_ACTIONS mode (ActionInstr.verify, verifier.py:228-243):
+    # instructions succeed/fail only on an explicit `done` action, judged by
+    # whether the previous verified step matched; other steps record the
+    # match bit and report "continue".  Static flag -> jit specializes.
+    done_actions = bool(params.opt("done_actions", False))
+    last_match_new = None
+    if done_actions:
+        last_bits = aux[AUX_LAST_MATCH]
+        is_done_act = action == ACT_DONE
+        last_match_new = {}
+        for i in range(4):
+            last = (last_bits >> i) & 1
+            last_match_new[i] = jnp.where(
+                is_done_act, last, (res[i] == 1).astype(jnp.int32)
+            )
+            res[i] = jnp.where(
+                is_done_act, jnp.where(last == 1, 1, 2), 0
+            )
+
     # Clause results: single leaf, or AndInstr of two leaves
     # (verifier.py:552-566 — And returns success when both succeed and never
     # fails outside done-actions mode; leaf dones stick on success).
@@ -473,6 +498,12 @@ def verify_step(
     pc_new = [
         jnp.where(leaf_eval[i], pc[i], aux[AUX_PC_NONE + i]) for i in range(4)
     ]
+    if done_actions:
+        bits_old = aux[AUX_LAST_MATCH]
+        packed = jnp.zeros_like(bits_old)
+        for i in range(4):
+            b = jnp.where(leaf_eval[i], last_match_new[i], (bits_old >> i) & 1)
+            packed = packed | (b << i)
 
     # Top-level combinator state machine (verifier.py:465-528).
     s_status = res_a
@@ -523,6 +554,8 @@ def verify_step(
     for i in range(4):
         aux = aux.at[AUX_LEAF_DONE + i].set(leaf_done_new[i])
         aux = aux.at[AUX_PC_NONE + i].set(pc_new[i])
+    if done_actions:
+        aux = aux.at[AUX_LAST_MATCH].set(packed)
     new = new.replace(aux=aux, marks=marks, carrying_marks=cmarks)
 
     succeeded = status == 1

@@ -10,6 +10,7 @@ whole episode until valid — the same distribution as the reference's loop
 
 from __future__ import annotations
 
+import os
 from typing import Callable, Optional, Tuple
 
 import jax
@@ -89,6 +90,9 @@ def make_level(
         num_cols=num_cols,
         fixed_max_steps=max_steps is not None,
         dynamic_max_steps_slot=B.AUX_MAX_STEPS,
+        # BABYAI_DONE_ACTIONS env flag (verifier.py:25): read at factory
+        # time; static in params so jit specializes each mode.
+        done_actions=bool(os.environ.get("BABYAI_DONE_ACTIONS", False)),
     )
 
     def attempt(key: jax.Array, p: EnvParams):
