@@ -179,15 +179,41 @@ def main() -> None:
         action="store_true",
         help="also measure value-iteration sweeps/s (XLA, and Pallas on TPU)",
     )
-    args = p.parse_args()
-    benchmark(
-        args.env_id,
-        args.num_resets,
-        args.num_frames,
-        args.tile_size,
-        args.batch,
-        args.horizon,
+    p.add_argument(
+        "--trace",
+        metavar="LOGDIR",
+        default=None,
+        help="capture a jax.profiler trace of the benchmark into LOGDIR "
+        "(view with TensorBoard's profile plugin / Perfetto)",
     )
+    p.add_argument(
+        "--telemetry",
+        action="store_true",
+        help="also report generation acceptance-rate telemetry for --env-id",
+    )
+    args = p.parse_args()
+
+    import contextlib
+
+    from minigrid_dynamicprogramming_tpu.utils.profiling import trace
+
+    ctx = trace(args.trace) if args.trace else contextlib.nullcontext()
+    with ctx:
+        benchmark(
+            args.env_id,
+            args.num_resets,
+            args.num_frames,
+            args.tile_size,
+            args.batch,
+            args.horizon,
+        )
+    if args.telemetry:
+        from minigrid_dynamicprogramming_tpu.utils.telemetry import (
+            generation_acceptance,
+        )
+
+        for k, v in generation_acceptance(mgtpu.make(args.env_id)).items():
+            print(f"gen_{k}: {v}")
     if args.dp:
         benchmark_dp("MiniGrid-DoorKey-8x8-v0", use_pallas=False)
         try:

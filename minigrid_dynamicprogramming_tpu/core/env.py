@@ -59,6 +59,7 @@ class Environment:
         reward_range: Tuple[float, float] = (0.0, 1.0),
         pre_step_lanes: Optional[PreStepFn] = None,
         post_step_lanes: Optional[PostStepFn] = None,
+        generate_stats: Optional[Callable] = None,
     ):
         self.env_id = env_id
         self.params = params
@@ -76,6 +77,10 @@ class Environment:
         # lane implementation.
         self.pre_step_lanes = pre_step_lanes
         self.post_step_lanes = post_step_lanes
+        # Optional telemetry variant of ``generate``:
+        # ``(key, params) -> (EnvState, GenStats)`` exposing the bounded
+        # masked-rejection loop's acceptance outcome (utils/telemetry.py).
+        self.generate_stats = generate_stats
 
     # -- pure functions (jit/vmap these) ------------------------------------
     def reset(self, key: jax.Array) -> Tuple[Dict[str, jnp.ndarray], EnvState]:

@@ -128,7 +128,16 @@ def make_level(
                 ok = ok & (~is_put | ~bad)
         return state, ok
 
-    def generate(key: jax.Array, p: EnvParams) -> EnvState:
+    def generate_stats(key: jax.Array, p: EnvParams):
+        """``generate`` plus acceptance telemetry: (state, GenStats).
+
+        GenStats.tries is the number of whole-episode redraws consumed
+        (reference analog: iterations of the regenerate-on-RejectSampling
+        loop, roomgrid_level.py:118-139); GenStats.ok is False iff all
+        ``max_tries`` draws were rejected — the silent-truncation case the
+        telemetry exists to expose."""
+        from minigrid_dynamicprogramming_tpu.utils.telemetry import GenStats
+
         # The attempt body is traced exactly once (inside the loop); the
         # init value is a zeros pytree of the right structure.
         shapes = jax.eval_shape(lambda k: attempt(k, p)[0], key)
@@ -146,12 +155,15 @@ def make_level(
             state, ok = attempt(k, p)
             return state, ok, key, it + 1
 
-        state, _, _, _ = jax.lax.while_loop(
+        state, ok, _, it = jax.lax.while_loop(
             cond,
             body,
             (state0, jnp.asarray(False), key, jnp.asarray(0, jnp.int32)),
         )
-        return state
+        return state, GenStats(tries=it, ok=ok)
+
+    def generate(key: jax.Array, p: EnvParams) -> EnvState:
+        return generate_stats(key, p)[0]
 
     return Environment(
         env_id,
@@ -160,4 +172,5 @@ def make_level(
         post_step=B.verify_step,
         post_step_lanes=B.verify_step,  # layout-polymorphic via AG helpers
         mission_text=B.surface_text,
+        generate_stats=generate_stats,
     )

@@ -33,6 +33,7 @@ from minigrid_dynamicprogramming_tpu.ops import grid as G
 MISSION = "traverse the rooms to get to the goal"
 SIZE = 25
 ATTEMPTS = 12
+OUTER_ROUNDS = 10  # bounded redraws of ATTEMPTS chains each (see generate)
 TRIES_PER_ROOM = 8
 SORTED_COLOR_IDS = jnp.asarray(
     [COLOR_TO_IDX[c] for c in sorted(COLOR_TO_IDX)], dtype=jnp.int32
@@ -165,21 +166,71 @@ def make_multiroom(
     )
     n_max = max_num_rooms
 
+    def generate_stats(key: jax.Array, p: EnvParams):
+        """``generate`` plus acceptance telemetry: GenStats.ok is True iff
+        some attempt chained the full ``numRooms`` rooms (the reference's
+        while loop retries until it does, multiroom.py:118-137; here the
+        retry budget is bounded, so a shortfall must be observable).
+        GenStats.tries counts outer redraw rounds of ATTEMPTS each."""
+        from minigrid_dynamicprogramming_tpu.utils.telemetry import GenStats
+
+        state, count, num_rooms, rounds = _generate_impl(key, p)
+        return state, GenStats(tries=rounds, ok=count >= num_rooms)
+
     def generate(key: jax.Array, p: EnvParams):
-        keys = jax.random.split(key, ATTEMPTS + 6)
+        return _generate_impl(key, p)[0]
+
+    def _generate_impl(key: jax.Array, p: EnvParams):
+        k_num, k_att, k_paint = jax.random.split(key, 3)
+        keys = jax.random.split(k_paint, 6)
         num_rooms = jax.random.randint(
-            keys[0], (), min_num_rooms, max_num_rooms + 1
+            k_num, (), min_num_rooms, max_num_rooms + 1
         )
-        # Independent attempts in parallel; keep the first longest chain
-        # (the reference retries whole generations keeping the longest,
-        # multiroom.py:_gen_grid while loop).
-        a_keys = jnp.stack([keys[1 + a] for a in range(ATTEMPTS)])
-        tops_a, sizes_a, entries_a, count_a = jax.vmap(
-            _attempt, in_axes=(0, None, None, None, None)
-        )(a_keys, n_max, 4, max_room_size, num_rooms)
-        best_a = jnp.argmax(count_a)
-        tops, sizes, entries, count = (
-            tops_a[best_a], sizes_a[best_a], entries_a[best_a], count_a[best_a]
+
+        # ATTEMPTS independent chain builds in parallel per round, redrawn
+        # (bounded) until one reaches the target length — the reference
+        # retries whole generations keeping the longest, looping forever
+        # (multiroom.py:_gen_grid while loop); OUTER_ROUNDS * ATTEMPTS draws
+        # put residual failure below ~1e-12 for the registered configs, and
+        # generate_stats surfaces any shortfall as telemetry.
+        def round_best(k):
+            a_keys = jax.random.split(k, ATTEMPTS)
+            tops_a, sizes_a, entries_a, count_a = jax.vmap(
+                _attempt, in_axes=(0, None, None, None, None)
+            )(a_keys, n_max, 4, max_room_size, num_rooms)
+            best_a = jnp.argmax(count_a)
+            return (
+                tops_a[best_a],
+                sizes_a[best_a],
+                entries_a[best_a],
+                count_a[best_a],
+            )
+
+        def cond(c):
+            _, _, _, count, _, rounds = c
+            return (count < num_rooms) & (rounds < OUTER_ROUNDS)
+
+        def body(c):
+            tops, sizes, entries, count, k, rounds = c
+            k, kr = jax.random.split(k)
+            n_tops, n_sizes, n_entries, n_count = round_best(kr)
+            better = n_count > count
+            pick = lambda a, b: jnp.where(better, a, b)
+            return (
+                pick(n_tops, tops),
+                pick(n_sizes, sizes),
+                pick(n_entries, entries),
+                pick(n_count, count),
+                k,
+                rounds + 1,
+            )
+
+        z2 = jnp.zeros((n_max, 2), jnp.int32)
+        tops, sizes, entries, count, _, rounds = jax.lax.while_loop(
+            cond,
+            body,
+            (z2, z2, z2, jnp.asarray(0, jnp.int32), k_att,
+             jnp.asarray(0, jnp.int32)),
         )
 
         state = new_state(p.height, p.width, rng=keys[-1])
@@ -231,6 +282,12 @@ def make_multiroom(
         state, _, _ = G.place_obj(
             keys[-4], state, OBJ_GOAL, COLOR_GREEN, reject_mask=~last_rect
         )
-        return state
+        return state, count, num_rooms, rounds
 
-    return Environment(env_id, params, generate, mission_text=lambda c: MISSION)
+    return Environment(
+        env_id,
+        params,
+        generate,
+        mission_text=lambda c: MISSION,
+        generate_stats=generate_stats,
+    )

@@ -14,6 +14,7 @@ from typing import Callable, Dict
 from minigrid_dynamicprogramming_tpu.core.env import Environment
 
 _REGISTRY: Dict[str, Callable[[], Environment]] = {}
+_FAMILY: Dict[str, str] = {}  # env id -> family slug (factory name)
 
 
 def register(env_id: str, factory: Callable[[], Environment]) -> None:
@@ -33,8 +34,17 @@ def registered_ids() -> list[str]:
     return sorted(_REGISTRY)
 
 
+def family(env_id: str) -> str:
+    """Family slug for an id (the factory name minus ``make_``) — the docs
+    generator's analog of the reference's one-page-per-env-class grouping
+    (docs/_scripts/gen_env_docs.py entry-point parsing)."""
+    return _FAMILY.get(env_id, "misc")
+
+
 def _reg(env_id: str, factory, **kwargs) -> None:
     register(env_id, lambda: factory(env_id, **kwargs))
+    name = getattr(factory, "__name__", "misc")
+    _FAMILY[env_id] = name[5:] if name.startswith("make_") else name
 
 
 def _register_all() -> None:

@@ -60,6 +60,14 @@ class DisappearedBoxError(Exception):
     longer be completed (baby_ai_bot.py:18-28)."""
 
 
+class PlanThrashingError(Exception):
+    """Raised when the planner restructures its subgoal stack hundreds of
+    times without producing an action (fetch-key <-> explore livelock).  The
+    reference planner has no such valve and simply hangs on these seeds;
+    surfacing it lets callers count the seed as a planning *failure* in
+    solve-rate measurements instead of masking it."""
+
+
 def _manhattan(a, b) -> int:
     return abs(int(a[0]) - int(b[0])) + abs(int(a[1]) - int(b[1]))
 
@@ -574,7 +582,8 @@ class BabyAIBot:
             # The reference planner can livelock restructuring the stack
             # (fetch-key <-> explore cycles); surface that as a planning
             # failure instead of hanging.
-            assert restructures < 500, f"plan thrashing: {self.stack[-6:]}"
+            if restructures >= 500:
+                raise PlanThrashingError(f"plan thrashing: {self.stack[-6:]}")
         if not self.stack:
             suggested = ACT_DONE
 
