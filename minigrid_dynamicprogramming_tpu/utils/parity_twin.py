@@ -780,6 +780,12 @@ def twin_reset(env_id: str, seed: int, rng=None):
         for k, (x, y) in enumerate(layout.extra["obstacles"]):
             aux[2 * k], aux[2 * k + 1] = x, y
 
+    # Generic per-family episode constants (twin_minigrid generators).
+    for slot, val in layout.extra.get("aux_map", {}).items():
+        aux[slot] = val
+    for slot, val in layout.extra.get("mission_map", {}).items():
+        mission[slot] = val
+
     if "instr_kind" in layout.extra:  # BabyAI single action instruction
         from minigrid_dynamicprogramming_tpu.envs.babyai import core as B
 
@@ -827,3 +833,9 @@ def twin_reset(env_id: str, seed: int, rng=None):
         rng=rng,
     )
     return state, env
+
+
+# Register the remaining MiniGrid-family twin generators (imported for the
+# registration side effect; the module pulls TwinEnv/RoomGridTwin from here,
+# which are fully defined by this point).
+from minigrid_dynamicprogramming_tpu.utils import twin_minigrid  # noqa: E402,F401

@@ -90,6 +90,23 @@ TRAJ_ENVS = [
     "MiniGrid-DoorKey-8x8-v0",
     "MiniGrid-LavaCrossingS9N2-v0",
     "MiniGrid-SimpleCrossingS9N1-v0",
+    "MiniGrid-DistShift2-v0",
+    "MiniGrid-LavaGapS7-v0",
+    "MiniGrid-Fetch-8x8-N3-v0",
+    "MiniGrid-GoToDoor-8x8-v0",
+    "MiniGrid-GoToObject-8x8-N2-v0",
+    "MiniGrid-PutNear-8x8-N3-v0",
+    "MiniGrid-RedBlueDoors-8x8-v0",
+    "MiniGrid-MemoryS13-v0",
+    "MiniGrid-LockedRoom-v0",
+    "MiniGrid-MultiRoom-N6-v0",
+    "MiniGrid-Playground-v0",
+    "MiniGrid-KeyCorridorS6R3-v0",
+    "MiniGrid-Unlock-v0",
+    "MiniGrid-UnlockPickup-v0",
+    "MiniGrid-BlockedUnlockPickup-v0",
+    "MiniGrid-ObstructedMaze-1Dlhb-v0",
+    "MiniGrid-ObstructedMaze-Full-v1",
     "BabyAI-GoToDoor-v0",
     "BabyAI-UnlockPickup-v0",
 ]
