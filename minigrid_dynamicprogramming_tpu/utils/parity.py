@@ -192,13 +192,13 @@ def babyai_from_reference(ref_env, state: EnvState) -> EnvState:
         codes[base + 2] = _LOC[desc.loc]
         codes[base + 3] = int(len(desc.obj_set) > 1)
         bit = B.desc_bit(c, l, d)
-        for obj in desc.obj_set:
-            x, y = int(obj.cur_pos[0]), int(obj.cur_pos[1])
+        # Positions come from the verifier's own scan (obj_poss is parallel
+        # to obj_set, verifier.py:115-167) — cur_pos is None for wall cells
+        # matched by type-less descriptors and is not what verify() uses.
+        for obj, pos in zip(desc.obj_set, desc.obj_poss):
+            x, y = int(pos[0]), int(pos[1])
             if x >= 0 and y >= 0:
                 marks[y, x] |= bit
-            elif env.carrying is obj:
-                # snapshotting mid-carry (e.g. PutNext start_carrying)
-                pass
 
     def encode_leaf(instr, c, l):
         base = B._leaf_base(c, l)

@@ -134,6 +134,9 @@ class TwinEnv:
     def rand_bool(self) -> bool:
         return self.rng.integers(0, 2) == 0  # :256-261
 
+    def rand_float(self, low: float, high: float) -> float:
+        return float(self.rng.uniform(low, high))  # :249-254
+
     def rand_elem(self, iterable):
         lst = list(iterable)
         return lst[self.rand_int(0, len(lst))]  # :263-270
@@ -259,6 +262,12 @@ class TwinRoom:
         self.neighbors: List = [None] * 4
         self.locked = False
         self.objs: List[TwinObj] = []
+
+    def pos_inside(self, x: int, y: int) -> bool:
+        """roomgrid.py Room.pos_inside:49-63 (rect includes the wall ring)."""
+        tx, ty = self.top
+        sx, sy = self.size
+        return tx <= x < tx + sx and ty <= y < ty + sy
 
 
 class RoomGridTwin(TwinEnv):
@@ -595,91 +604,7 @@ def gen_dynamicobstacles(
     return TwinLayout(t, obstacles=obstacles)
 
 
-# -- BabyAI levels -----------------------------------------------------------
-
-
-class _Reject(Exception):
-    pass
-
-
-def _babyai_gen(seed, build, room_size, num_rows, num_cols):
-    """RoomGridLevel._gen_grid retry loop (roomgrid_level.py:118-139):
-    lattice + mission, regenerating the whole grid on rejection with the
-    SAME generator (the RNG is not re-seeded across retries)."""
-    t = RoomGridTwin(room_size, num_rows, num_cols, seed)
-    while True:
-        try:
-            t.gen_lattice()  # rebuilds grid + fresh room structs each attempt
-            result = build(t)
-        except (RecursionError, _Reject):
-            continue
-        break
-    return t, result
-
-
-def _matching_positions(t: TwinEnv, kind: str, color: str) -> List[Tuple[int, int]]:
-    """ObjDesc.find_matching_objs scan (verifier.py:104-169) for loc=None
-    descriptors: column-major scan for type+color matches."""
-    out = []
-    for i in range(t.width):
-        for j in range(t.height):
-            cell = t.get(i, j)
-            if cell is not None and cell.type == kind and cell.color == color:
-                out.append((i, j))
-    return out
-
-
-def gen_babyai_gotodoor(seed) -> TwinLayout:
-    """envs/babyai/goto.py:735-743 (room_size=7, 3x3 rooms): four add_door
-    draws in room (1,1), place_agent(1,1), then the target-door draw."""
-
-    def build(t: RoomGridTwin):
-        doors = []
-        for _ in range(4):
-            door, _ = t.add_door(1, 1)
-            doors.append(door)
-        t.place_agent_room(1, 1)
-        target = t.rand_elem(doors)
-        return ("goto", "door", target.color)
-
-    t, instr = _babyai_gen(seed, build, room_size=7, num_rows=3, num_cols=3)
-    kind, typ, color = instr
-    # max_steps = num_navs(1) * room_size^2 * rows * cols (roomgrid_level.py:76-83)
-    return TwinLayout(
-        t,
-        instr_kind=kind,
-        desc_type=typ,
-        desc_color=color,
-        matches=_matching_positions(t, typ, color),
-        max_steps=1 * 7 * 7 * 9,
-    )
-
-
-def gen_babyai_unlockpickup(seed, distractors=False) -> TwinLayout:
-    """envs/babyai/unlock.py:306-318 (room_size=6, 1x2 rooms).  The ctor's
-    ``if max is None`` (unlock.py:299) tests the *builtin* ``max`` — always
-    False — so max_steps flows as None and is computed at reset:
-    num_navs(1) * room_area(36) * rooms(2) = 72 (roomgrid_level.py:76-83)."""
-
-    def build(t: RoomGridTwin):
-        obj, _ = t.add_object(1, 0, kind="box")
-        door, _ = t.add_door(0, 0, 0, locked=True)
-        t.add_object(0, 0, "key", door.color)
-        if distractors:
-            t.add_distractors(num_distractors=4)
-        t.place_agent_room(0, 0)
-        return ("pickup", obj.type, obj.color)
-
-    t, instr = _babyai_gen(seed, build, room_size=6, num_rows=1, num_cols=2)
-    kind, typ, color = instr
-    return TwinLayout(
-        t,
-        instr_kind=kind,
-        desc_type=typ,
-        desc_color=color,
-        matches=_matching_positions(t, typ, color),
-        max_steps=1 * 6 * 6 * 2,
-    )
+# BabyAI levels live in utils/twin_babyai.py (full instruction-grammar twin).
 
 
 # ---------------------------------------------------------------------------
@@ -737,10 +662,6 @@ for _size, _n in ((5, 2), (6, 3)):
         n_obstacles=_n,
         agent_start_pos=None,
     )
-_twin("BabyAI-GoToDoor-v0", gen_babyai_gotodoor)
-_twin("BabyAI-UnlockPickup-v0", gen_babyai_unlockpickup)
-_twin("BabyAI-UnlockPickupDist-v0", gen_babyai_unlockpickup, distractors=True)
-
 
 def twin_ids() -> List[str]:
     return sorted(TWIN_GENERATORS)
@@ -786,26 +707,22 @@ def twin_reset(env_id: str, seed: int, rng=None):
     for slot, val in layout.extra.get("mission_map", {}).items():
         mission[slot] = val
 
-    if "instr_kind" in layout.extra:  # BabyAI single action instruction
+    carrying_obj, carrying_color = OBJ_EMPTY, 0
+    carrying_marks = 0
+    if "instrs" in layout.extra:  # BabyAI instruction tree
         from minigrid_dynamicprogramming_tpu.envs.babyai import core as B
+        from minigrid_dynamicprogramming_tpu.utils.twin_babyai import (
+            encode_instrs,
+        )
 
-        ex = layout.extra
-        mission[0] = B.COMB_SINGLE
-        base = B._leaf_base(0, 0)
-        mission[base] = {"goto": B.KIND_GOTO, "pickup": B.KIND_PICKUP}[
-            ex["instr_kind"]
-        ]
-        dbase = B._desc_base(0, 0, 0)
-        mission[dbase] = OBJECT_TO_IDX[ex["desc_type"]]
-        mission[dbase + 1] = COLOR_TO_IDX[ex["desc_color"]]
-        mission[dbase + 2] = B.LOC_NONE
-        mission[dbase + 3] = int(len(ex["matches"]) > 1)
-        bit = B.desc_bit(0, 0, 0)
-        for (x, y) in ex["matches"]:
-            marks[y, x] |= bit
+        mission, marks, carrying_marks = encode_instrs(layout, MISSION_SLOTS)
         for i in range(4):
             aux[B.AUX_PC_NONE + i] = 1
-        aux[B.AUX_MAX_STEPS] = ex["max_steps"]
+        aux[B.AUX_MAX_STEPS] = layout.extra["max_steps"]
+        carry = layout.extra.get("carry")
+        if carry is not None:  # PutNext start_carrying (putnext.py:192-201)
+            t, c, _ = carry.encode()
+            carrying_obj, carrying_color = t, c
 
     if rng is None:
         rng = jax.random.PRNGKey(seed)
@@ -818,11 +735,11 @@ def twin_reset(env_id: str, seed: int, rng=None):
         contains_color=jnp.asarray(layout.contains_color),
         marks=jnp.asarray(marks),
         vmarks=jnp.asarray(marks),
-        carrying_marks=jnp.asarray(0, dtype=jnp.uint16),
+        carrying_marks=jnp.asarray(carrying_marks, dtype=jnp.uint16),
         agent_pos=jnp.asarray(list(layout.agent_pos), dtype=jnp.int32),
         agent_dir=jnp.asarray(layout.agent_dir, dtype=jnp.int32),
-        carrying_obj=jnp.asarray(OBJ_EMPTY, dtype=jnp.uint8),
-        carrying_color=jnp.asarray(0, dtype=jnp.uint8),
+        carrying_obj=jnp.asarray(carrying_obj, dtype=jnp.uint8),
+        carrying_color=jnp.asarray(carrying_color, dtype=jnp.uint8),
         carrying_contains_obj=jnp.asarray(OBJ_EMPTY, dtype=jnp.uint8),
         carrying_contains_color=jnp.asarray(0, dtype=jnp.uint8),
         step_count=jnp.asarray(0, dtype=jnp.int32),
@@ -835,7 +752,8 @@ def twin_reset(env_id: str, seed: int, rng=None):
     return state, env
 
 
-# Register the remaining MiniGrid-family twin generators (imported for the
-# registration side effect; the module pulls TwinEnv/RoomGridTwin from here,
-# which are fully defined by this point).
+# Register the remaining MiniGrid-family and BabyAI twin generators (imported
+# for the registration side effect; the modules pull TwinEnv/RoomGridTwin from
+# here, which are fully defined by this point).
 from minigrid_dynamicprogramming_tpu.utils import twin_minigrid  # noqa: E402,F401
+from minigrid_dynamicprogramming_tpu.utils import twin_babyai  # noqa: E402,F401

@@ -57,13 +57,26 @@ def _assert_layout_matches(env_id: str, seed: int) -> None:
         assert layout.extra["obstacles"] == ref_obs_pos, f"{env_id} seed={seed}"
     if "max_steps" in layout.extra:
         assert layout.extra["max_steps"] == int(ref.max_steps), f"{env_id} seed={seed}"
-    if "desc_color" in layout.extra:
-        desc = getattr(ref.instrs, "desc", None)
-        assert desc is not None
-        assert layout.extra["desc_color"] == desc.color
-        assert layout.extra["desc_type"] == desc.type
-        ref_matches = sorted(tuple(map(int, p)) for p in desc.obj_poss)
-        assert sorted(layout.extra["matches"]) == ref_matches
+    if "instrs" in layout.extra:
+        # The decisive check: the twin's device encoding (mission codes +
+        # identity mark planes + carrying bits) must equal the encoding of
+        # the reference's actual instruction tree.
+        from minigrid_dynamicprogramming_tpu.utils.parity import (
+            babyai_from_reference,
+            state_from_reference,
+        )
+
+        st_t, _ = twin_reset(env_id, seed)
+        st_r = babyai_from_reference(ref_env, state_from_reference(ref_env))
+        np.testing.assert_array_equal(
+            np.asarray(st_t.mission), np.asarray(st_r.mission),
+            err_msg=f"{env_id} seed={seed} mission codes",
+        )
+        np.testing.assert_array_equal(
+            np.asarray(st_t.marks), np.asarray(st_r.marks),
+            err_msg=f"{env_id} seed={seed} mark planes",
+        )
+        assert int(st_t.carrying_marks) == int(st_r.carrying_marks)
     ref_env.close()
 
 
@@ -109,7 +122,40 @@ TRAJ_ENVS = [
     "MiniGrid-ObstructedMaze-Full-v1",
     "BabyAI-GoToDoor-v0",
     "BabyAI-UnlockPickup-v0",
+    "BabyAI-GoToRedBallGrey-v0",
+    "BabyAI-GoToLocal-v0",
+    "BabyAI-GoToObjMazeS4R2-v0",
+    "BabyAI-GoToImpUnlock-v0",
+    "BabyAI-GoToSeqS5R2-v0",
+    "BabyAI-Open-v0",
+    "BabyAI-OpenDoorLoc-v0",
+    "BabyAI-OpenTwoDoors-v0",
+    "BabyAI-OpenDoorsOrderN4-v0",
+    "BabyAI-Pickup-v0",
+    "BabyAI-PickupDistDebug-v0",
+    "BabyAI-PickupAbove-v0",
+    "BabyAI-PutNextLocalS6N4-v0",
+    "BabyAI-PutNextS5N2-v0",
+    "BabyAI-PutNextS5N2Carrying-v0",
+    "BabyAI-Unlock-v0",
+    "BabyAI-KeyInBox-v0",
+    "BabyAI-BlockedUnlockPickup-v0",
+    "BabyAI-UnlockToUnlock-v0",
+    "BabyAI-ActionObjDoor-v0",
+    "BabyAI-FindObjS5-v0",
+    "BabyAI-KeyCorridorS3R2-v0",
+    "BabyAI-MoveTwoAcrossS5N2-v0",
+    "BabyAI-Synth-v0",
+    "BabyAI-SynthSeq-v0",
+    "BabyAI-MiniBossLevel-v0",
+    "BabyAI-BossLevel-v0",
 ]
+
+# PutNext start_carrying quirk (putnext.py:192-201): the reference's reset
+# returns an observation rendered *before* the carried object is lifted off
+# the grid, so the first obs differs by construction; parity holds from the
+# first step onward.
+_CARRYING_IDS = {i for i in TRAJ_ENVS if "Carrying" in i}
 
 
 @pytest.mark.parametrize("env_id", TRAJ_ENVS)
@@ -118,11 +164,12 @@ def test_trajectory_parity_from_seed(env_id, seed, n_steps=150):
     ref_env, ref_obs = make_reference_env(env_id, seed)
     state, env = twin_reset(env_id, seed)
 
-    obs0 = jax.jit(env.observation)(state)
-    np.testing.assert_array_equal(
-        np.asarray(obs0["image"]), ref_obs["image"],
-        err_msg=f"{env_id} seed={seed} reset obs",
-    )
+    if env_id not in _CARRYING_IDS:
+        obs0 = jax.jit(env.observation)(state)
+        np.testing.assert_array_equal(
+            np.asarray(obs0["image"]), ref_obs["image"],
+            err_msg=f"{env_id} seed={seed} reset obs",
+        )
 
     step_fn = jax.jit(env.step)
     rng = np.random.default_rng(seed + 1234)
