@@ -60,6 +60,7 @@ class Environment:
         pre_step_lanes: Optional[PreStepFn] = None,
         post_step_lanes: Optional[PostStepFn] = None,
         generate_stats: Optional[Callable] = None,
+        hook_rng: bool = True,
     ):
         self.env_id = env_id
         self.params = params
@@ -81,6 +82,10 @@ class Environment:
         # ``(key, params) -> (EnvState, GenStats)`` exposing the bounded
         # masked-rejection loop's acceptance outcome (utils/telemetry.py).
         self.generate_stats = generate_stats
+        # False when the hooks never consume their key argument (e.g. pure
+        # reward overrides, the BabyAI verifier): step paths then skip the
+        # per-env key split entirely — a measurable win at large batch.
+        self.hook_rng = hook_rng
 
     # -- pure functions (jit/vmap these) ------------------------------------
     def reset(self, key: jax.Array) -> Tuple[Dict[str, jnp.ndarray], EnvState]:
@@ -91,7 +96,12 @@ class Environment:
         self, key: jax.Array, state: EnvState, action: jnp.ndarray
     ) -> Tuple[Dict[str, jnp.ndarray], EnvState, jnp.ndarray, jnp.ndarray, jnp.ndarray, Dict]:
         params = self.params
-        k_pre, k_post = jax.random.split(key)
+        if self.hook_rng and (
+            self.pre_step is not None or self.post_step is not None
+        ):
+            k_pre, k_post = jax.random.split(key)
+        else:
+            k_pre = k_post = None
         if self.action_map is not None:
             action = self.action_map(params, action)
         prev = state

@@ -287,20 +287,30 @@ def _bit(x, bit):
     return (x.astype(jnp.int32) & bit) > 0
 
 
-def _leaf_eval(params, new, action, codes, c, l, pc_none):
-    """Evaluate one leaf without committing state: returns
-    (result in {0 cont, 1 succ, 2 fail}, new_pc_none, marks', carrying')
-    with the updated remembered-object bit (applied only if evaluated).
+# All leaf kinds a slot may take when no static profile narrows it.
+_ALL_KINDS = ("goto", "open", "pickup", "putnext")
 
-    Layout-polymorphic: runs per-env on ``EnvState`` (vmapped) and natively
-    batched on the lane-major ``LaneState`` via the ops/agnostic.py helpers.
-    """
-    kind = leaf_kind(codes, c, l)
-    strict = leaf_strict(codes, c, l)
-    bit1 = desc_bit(c, l, 0)
-    bit2 = desc_bit(c, l, 1)
-    rbit = remember_bit(c, l)
+# Static instruction profile: (combs, leaf00, leaf01, leaf10, leaf11) where
+# combs ⊆ ("single","before","after") and each leaf entry is the tuple of
+# kinds that slot can take for this env id (empty = the slot is never
+# active).  Stored in params.extra so jit specializes verify_step per
+# family — a GoToLocal batch pays one front-cell probe instead of the full
+# 4-leaf PutNext plane machinery.
+GENERIC_PROFILE = (
+    ("single", "before", "after"),
+    _ALL_KINDS, _ALL_KINDS, _ALL_KINDS, _ALL_KINDS,
+)
 
+
+def single_profile(*kinds):
+    """Profile of a mission that is always one ActionInstr (no combinators)."""
+    return (("single",), tuple(kinds), (), (), ())
+
+
+def _front_cell(params, new):
+    """Shared front-cell probe: (in_bounds, obj, state, marks, vmarks).
+    Leaf-independent — computed once per verify_step (each lane-layout read
+    is a full-plane one-hot reduction)."""
     h, w = params.height, params.width
     ax, ay = AG.agent_xy(new)
     dx, dy = AG.dir_vec(new.agent_dir)
@@ -308,75 +318,126 @@ def _leaf_eval(params, new, action, codes, c, l, pc_none):
     fin = (fwx >= 0) & (fwx < w) & (fwy >= 0) & (fwy < h)
     fx = jnp.clip(fwx, 0, w - 1)
     fy = jnp.clip(fwy, 0, h - 1)
-    f_obj = AG.read_cell(params, new, "grid_obj", fx, fy)
-    f_state = AG.read_cell(params, new, "grid_state", fx, fy)
-    f_marks = AG.read_cell(params, new, "marks", fx, fy)
-    f_vmarks = AG.read_cell(params, new, "vmarks", fx, fy)
+    return (
+        fin,
+        AG.read_cell(params, new, "grid_obj", fx, fy),
+        AG.read_cell(params, new, "grid_state", fx, fy),
+        AG.read_cell(params, new, "marks", fx, fy),
+        AG.read_cell(params, new, "vmarks", fx, fy),
+    )
+
+
+def _leaf_eval(params, new, action, codes, c, l, pc_none, front, kinds):
+    """Evaluate one leaf without committing state: returns
+    (result in {0 cont, 1 succ, 2 fail}, new_pc_none, marks', carrying')
+    with the updated remembered-object bit (applied only if evaluated).
+
+    Layout-polymorphic: runs per-env on ``EnvState`` (vmapped) and natively
+    batched on the lane-major ``LaneState`` via the ops/agnostic.py helpers.
+    ``kinds`` is the slot's static kind set — branches for impossible kinds
+    are not traced at all.
+    """
+    kind = leaf_kind(codes, c, l)
+    strict = leaf_strict(codes, c, l)
+    bit1 = desc_bit(c, l, 0)
+    bit2 = desc_bit(c, l, 1)
+    rbit = remember_bit(c, l)
+    fin, f_obj, f_state, f_marks, f_vmarks = front
 
     is_toggle = action == ACT_TOGGLE
     is_pickup = action == ACT_PICKUP
     is_drop = action == ACT_DROP
     carrying_now = new.carrying_obj != OBJ_EMPTY
+    F = jnp.zeros((), jnp.bool_)
 
     # GoTo (verifier.py:307-314): agent faces a tracked position.
-    goto_succ = fin & _bit(f_vmarks, bit1)
+    goto_succ = (fin & _bit(f_vmarks, bit1)) if "goto" in kinds else F
 
     # Open (verifier.py:268-285).
-    f_is_door = fin & (f_obj == OBJ_DOOR)
-    open_succ = is_toggle & f_is_door & _bit(f_marks, bit1) & (f_state == STATE_OPEN)
-    open_fail = (strict == 1) & is_toggle & f_is_door & ~open_succ
+    if "open" in kinds:
+        f_is_door = fin & (f_obj == OBJ_DOOR)
+        open_succ = (
+            is_toggle & f_is_door & _bit(f_marks, bit1) & (f_state == STATE_OPEN)
+        )
+        open_fail = (strict == 1) & is_toggle & f_is_door & ~open_succ
+    else:
+        open_succ = open_fail = F
 
     # Pickup (verifier.py:341-361).
-    pick_succ = is_pickup & (pc_none == 1) & _bit(new.carrying_marks, bit1)
-    pick_fail = (strict == 1) & is_pickup & carrying_now & ~pick_succ
+    if "pickup" in kinds:
+        pick_succ = is_pickup & (pc_none == 1) & _bit(new.carrying_marks, bit1)
+        pick_fail = (strict == 1) & is_pickup & carrying_now & ~pick_succ
+    else:
+        pick_succ = pick_fail = F
 
     # PutNext (verifier.py:409-433): the remembered object must be a tracked
     # mover now lying on the grid with a tracked fixed object 4-adjacent.
-    rem_move = _bit(new.marks, rbit) & _bit(new.marks, bit1)  # cell plane
-    fixed = _bit(new.vmarks, bit2)
-    up = AG.shift_cells(params, new, fixed, 0, -1)
-    down = AG.shift_cells(params, new, fixed, 0, 1)
-    left = AG.shift_cells(params, new, fixed, -1, 0)
-    right = AG.shift_cells(params, new, fixed, 1, 0)
-    put_succ = is_drop & AG.reduce_any_cells(
-        params, new, rem_move & (up | down | left | right)
-    )
-    put_fail = (strict == 1) & is_pickup & carrying_now
+    if "putnext" in kinds:
+        rem_move = _bit(new.marks, rbit) & _bit(new.marks, bit1)  # cell plane
+        fixed = _bit(new.vmarks, bit2)
+        up = AG.shift_cells(params, new, fixed, 0, -1)
+        down = AG.shift_cells(params, new, fixed, 0, 1)
+        left = AG.shift_cells(params, new, fixed, -1, 0)
+        right = AG.shift_cells(params, new, fixed, 1, 0)
+        put_succ = is_drop & AG.reduce_any_cells(
+            params, new, rem_move & (up | down | left | right)
+        )
+        put_fail = (strict == 1) & is_pickup & carrying_now
+    else:
+        put_succ = put_fail = F
 
-    succ = jnp.where(
-        kind == KIND_GOTO,
-        goto_succ,
-        jnp.where(
+    if len(kinds) == 1:  # static dispatch: the slot has exactly one kind
+        k0 = kinds[0]
+        succ = {"goto": goto_succ, "open": open_succ,
+                "pickup": pick_succ, "putnext": put_succ}[k0]
+        fail = ~succ & {"goto": F, "open": open_fail,
+                        "pickup": pick_fail, "putnext": put_fail}[k0]
+    else:
+        succ = jnp.where(
+            kind == KIND_GOTO,
+            goto_succ,
+            jnp.where(
+                kind == KIND_OPEN,
+                open_succ,
+                jnp.where(
+                    kind == KIND_PICKUP,
+                    pick_succ,
+                    jnp.where(kind == KIND_PUTNEXT, put_succ, False),
+                ),
+            ),
+        )
+        fail = ~succ & jnp.where(
             kind == KIND_OPEN,
-            open_succ,
+            open_fail,
             jnp.where(
                 kind == KIND_PICKUP,
-                pick_succ,
-                jnp.where(kind == KIND_PUTNEXT, put_succ, False),
+                pick_fail,
+                jnp.where(kind == KIND_PUTNEXT, put_fail, False),
             ),
-        ),
-    )
-    fail = ~succ & jnp.where(
-        kind == KIND_OPEN,
-        open_fail,
-        jnp.where(
-            kind == KIND_PICKUP,
-            pick_fail,
-            jnp.where(kind == KIND_PUTNEXT, put_fail, False),
-        ),
-    )
+        )
     res = jnp.where(succ, 1, jnp.where(fail, 2, 0))
 
     # On evaluation, remember the current carrying
-    # (preCarrying <- env.carrying, verifier.py:343-344).
-    tracks_carry = (kind == KIND_PICKUP) | (kind == KIND_PUTNEXT)
+    # (preCarrying <- env.carrying, verifier.py:343-344).  Leaves that can
+    # never track a carried object skip the plane updates statically.
+    may_track = ("pickup" in kinds) or ("putnext" in kinds)
+    if not may_track:
+        return res, pc_none, new.marks, new.carrying_marks
+    always_track = all(k in ("pickup", "putnext") for k in kinds)
+    if always_track:
+        tracks_carry = True
+    else:
+        tracks_carry = (kind == KIND_PICKUP) | (kind == KIND_PUTNEXT)
     new_pc_none = jnp.where(tracks_carry, (~carrying_now).astype(jnp.int32), pc_none)
     rbit16 = jnp.asarray(rbit, dtype=new.marks.dtype)
     marks_clear = new.marks & ~rbit16
     cm_clear = new.carrying_marks & ~rbit16
     cm_set = jnp.where(carrying_now, cm_clear | rbit16, cm_clear)
-    marks_upd = jnp.where(tracks_carry, marks_clear, new.marks)
-    cm_upd = jnp.where(tracks_carry, cm_set, new.carrying_marks)
+    if always_track:
+        marks_upd, cm_upd = marks_clear, cm_set
+    else:
+        marks_upd = jnp.where(tracks_carry, marks_clear, new.marks)
+        cm_upd = jnp.where(tracks_carry, cm_set, new.carrying_marks)
     return res, new_pc_none, marks_upd, cm_upd
 
 
@@ -397,10 +458,19 @@ def verify_step(
     comb_strict = codes[1]
     aux = new.aux
 
-    # update_objs_poss on drop actions (roomgrid_level.py:89-91).
-    new = new.replace(
-        vmarks=jnp.where(action == ACT_DROP, new.marks, new.vmarks)
-    )
+    # Static per-family instruction shape (set by make_level); narrows the
+    # traced program to the kinds/slots this env id can actually emit.
+    profile = params.opt("instr_profile") or GENERIC_PROFILE
+    combs, leaf_kinds = profile[0], profile[1:]
+
+    # update_objs_poss on drop actions (roomgrid_level.py:89-91); vmarks is
+    # only read by goto/putnext leaves, so other families skip the update.
+    if any(("goto" in ks) or ("putnext" in ks) for ks in leaf_kinds):
+        new = new.replace(
+            vmarks=jnp.where(action == ACT_DROP, new.marks, new.vmarks)
+        )
+
+    front = _front_cell(params, new)
 
     # Leaf results (computed unconditionally, committed per eval mask).
     res = {}
@@ -410,8 +480,15 @@ def verify_step(
     for c in range(2):
         for l in range(2):
             i = c * 2 + l
+            if not leaf_kinds[i]:  # slot never active for this family
+                res[i] = jnp.zeros((), jnp.int32)
+                pc[i] = aux[AUX_PC_NONE + i]
+                marks_upd[i] = new.marks
+                cm_upd[i] = new.carrying_marks
+                continue
             res[i], pc[i], marks_upd[i], cm_upd[i] = _leaf_eval(
-                params, new, action, codes, c, l, aux[AUX_PC_NONE + i]
+                params, new, action, codes, c, l, aux[AUX_PC_NONE + i],
+                front, leaf_kinds[i],
             )
 
     # BABYAI_DONE_ACTIONS mode (ActionInstr.verify, verifier.py:228-243):
@@ -487,6 +564,9 @@ def verify_step(
     cmarks = new.carrying_marks
     for i in range(4):
         c, l = divmod(i, 2)
+        # Remember-bit planes only change for leaves that can track a carry.
+        if not any(k in ("pickup", "putnext") for k in leaf_kinds[i]):
+            continue
         rb = jnp.asarray(remember_bit(c, l), dtype=marks.dtype)
         marks = jnp.where(
             leaf_eval[i], (marks & ~rb) | (marks_upd[i] & rb), marks

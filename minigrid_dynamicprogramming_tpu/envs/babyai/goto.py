@@ -59,7 +59,7 @@ def make_goto_red_ball_grey(
         ok = objs_reachable(state)
         return state, _goto_codes(OBJ_BALL, COLOR_RED), ok
 
-    return make_level(env_id, gen, room_size, 1, 1)
+    return make_level(env_id, gen, room_size, 1, 1, instr_profile=B.single_profile("goto"))
 
 
 def make_goto_red_ball(
@@ -80,7 +80,7 @@ def make_goto_red_ball(
         ok = objs_reachable(state)
         return state, _goto_codes(OBJ_BALL, COLOR_RED), ok
 
-    return make_level(env_id, gen, room_size, 1, 1)
+    return make_level(env_id, gen, room_size, 1, 1, instr_profile=B.single_profile("goto"))
 
 
 def make_goto_obj(env_id: str, room_size: int = 8) -> Environment:
@@ -95,7 +95,7 @@ def make_goto_obj(env_id: str, room_size: int = 8) -> Environment:
         )
         return state, _goto_codes(kinds[0], colors[0]), jnp.asarray(True)
 
-    return make_level(env_id, gen, room_size, 1, 1)
+    return make_level(env_id, gen, room_size, 1, 1, instr_profile=B.single_profile("goto"))
 
 
 def make_goto_local(
@@ -114,7 +114,7 @@ def make_goto_local(
         n = jax.random.randint(k_pick, (), 0, num_dists)
         return state, _goto_codes(kinds[n], colors[n]), ok
 
-    return make_level(env_id, gen, room_size, 1, 1)
+    return make_level(env_id, gen, room_size, 1, 1, instr_profile=B.single_profile("goto"))
 
 
 def make_goto(
@@ -144,7 +144,7 @@ def make_goto(
             state = open_all_doors(state)
         return state, codes, ok
 
-    return make_level(env_id, gen, room_size, num_rows, num_cols)
+    return make_level(env_id, gen, room_size, num_rows, num_cols, instr_profile=B.single_profile("goto"))
 
 
 def make_goto_imp_unlock(
@@ -224,7 +224,7 @@ def make_goto_imp_unlock(
         )
         return state, _goto_codes(kinds[0], colors[0]), ok
 
-    return make_level(env_id, gen, room_size, num_rows, num_cols)
+    return make_level(env_id, gen, room_size, num_rows, num_cols, instr_profile=B.single_profile("goto"))
 
 
 def make_goto_red_blue_ball(
@@ -252,7 +252,7 @@ def make_goto_red_blue_ball(
         ok = (~bad) & objs_reachable(state)
         return state, _goto_codes(OBJ_BALL, color), ok
 
-    return make_level(env_id, gen, room_size, 1, 1)
+    return make_level(env_id, gen, room_size, 1, 1, instr_profile=B.single_profile("goto"))
 
 
 def make_goto_door(env_id: str, room_size: int = 7) -> Environment:
@@ -270,7 +270,7 @@ def make_goto_door(env_id: str, room_size: int = 7) -> Environment:
         codes = _goto_codes(OBJ_DOOR, door_colors[n])
         return state, codes, jnp.asarray(True)
 
-    return make_level(env_id, gen, room_size, 3, 3)
+    return make_level(env_id, gen, room_size, 3, 3, instr_profile=B.single_profile("goto"))
 
 
 def make_goto_obj_door(env_id: str, room_size: int = 8) -> Environment:
@@ -294,4 +294,4 @@ def make_goto_obj_door(env_id: str, room_size: int = 8) -> Environment:
         n = jax.random.randint(k_pick, (), 0, 12)
         return state, _goto_codes(all_kinds[n], all_colors[n]), ok
 
-    return make_level(env_id, gen, room_size, 3, 3)
+    return make_level(env_id, gen, room_size, 3, 3, instr_profile=B.single_profile("goto"))

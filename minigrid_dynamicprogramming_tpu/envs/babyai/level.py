@@ -72,8 +72,13 @@ def make_level(
     max_steps: Optional[int] = None,
     max_tries: int = 24,
     agent_view_size: int = 7,
+    instr_profile=None,
 ) -> Environment:
-    """Build an :class:`Environment` for one BabyAI level."""
+    """Build an :class:`Environment` for one BabyAI level.
+
+    ``instr_profile`` is the level's static instruction shape (see
+    ``core.GENERIC_PROFILE``); it lets ``verify_step`` trace only the leaf
+    slots/kinds this level can emit."""
     width = (room_size - 1) * num_cols + 1
     height = (room_size - 1) * num_rows + 1
     params = EnvParams(
@@ -93,6 +98,7 @@ def make_level(
         # BABYAI_DONE_ACTIONS env flag (verifier.py:25): read at factory
         # time; static in params so jit specializes each mode.
         done_actions=bool(os.environ.get("BABYAI_DONE_ACTIONS", False)),
+        instr_profile=instr_profile,
     )
 
     def attempt(key: jax.Array, p: EnvParams):
@@ -173,4 +179,5 @@ def make_level(
         post_step_lanes=B.verify_step,  # layout-polymorphic via AG helpers
         mission_text=B.surface_text,
         generate_stats=generate_stats,
+        hook_rng=False,  # the verifier consumes no randomness
     )

@@ -270,4 +270,23 @@ def make_levelgen(
                         ok &= ~bad
         return state, codes, ok
 
-    return make_level(env_id, gen, room_size, num_rows, num_cols, max_tries=32)
+    # Static instruction shape from the sampler config (levelgen.py:157-210):
+    # "and" fills the clause's second leaf; "seq" activates clause B (whose
+    # sub-clauses may themselves be and-pairs).
+    may_and = ("and" in instr_kinds) or ("seq" in instr_kinds)
+    may_seq = "seq" in instr_kinds
+    combs = (("single",) if ("action" in instr_kinds or "and" in instr_kinds)
+             else ()) + (("before", "after") if may_seq else ())
+    main = tuple(action_kinds)
+    second = main if may_and else ()
+    profile = (
+        combs,
+        main,
+        second,
+        main if may_seq else (),
+        second if may_seq else (),
+    )
+    return make_level(
+        env_id, gen, room_size, num_rows, num_cols, max_tries=32,
+        instr_profile=profile,
+    )

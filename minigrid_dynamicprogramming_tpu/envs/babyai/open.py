@@ -61,7 +61,7 @@ def make_open(
         color = state.grid_color[y, x].astype(jnp.int32)
         return state, _open_codes(color), ok
 
-    return make_level(env_id, gen, room_size, num_rows, num_cols)
+    return make_level(env_id, gen, room_size, num_rows, num_cols, instr_profile=B.single_profile("open"))
 
 
 def make_open_red_door(env_id: str) -> Environment:
@@ -77,7 +77,7 @@ def make_open_red_door(env_id: str) -> Environment:
         state = rg.place_agent(k_agent, state, room_size, i=0, j=0, rows=1, cols=2)
         return state, _open_codes(COLOR_RED), jnp.asarray(True)
 
-    return make_level(env_id, gen, room_size, 1, 2)
+    return make_level(env_id, gen, room_size, 1, 2, instr_profile=B.single_profile("open"))
 
 
 def make_open_door(
@@ -108,7 +108,7 @@ def make_open_door(
         )
         return state, codes, jnp.asarray(True)
 
-    return make_level(env_id, gen, room_size, 3, 3)
+    return make_level(env_id, gen, room_size, 3, 3, instr_profile=B.single_profile("open"))
 
 
 def make_open_two_doors(
@@ -140,7 +140,7 @@ def make_open_two_doors(
         )
         return state, codes, jnp.asarray(True)
 
-    return make_level(env_id, gen, room_size, 3, 3, max_steps=20 * room_size**2)
+    return make_level(env_id, gen, room_size, 3, 3, max_steps=20 * room_size**2, instr_profile=(("before",), ("open",), (), ("open",), ()))
 
 
 def make_open_doors_order(
@@ -179,4 +179,4 @@ def make_open_doors_order(
         codes = jnp.where(mode == 0, single, jnp.where(mode == 1, before, after))
         return state, codes, jnp.asarray(True)
 
-    return make_level(env_id, gen, room_size, 3, 3, max_steps=20 * room_size**2)
+    return make_level(env_id, gen, room_size, 3, 3, max_steps=20 * room_size**2, instr_profile=(("single", "before", "after"), ("open",), (), ("open",), ()))

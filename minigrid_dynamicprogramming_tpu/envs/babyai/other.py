@@ -56,7 +56,7 @@ def make_action_obj_door(env_id: str) -> Environment:
         codes = codes.at[B._leaf_base(0, 0)].set(instr_kind)
         return state, codes, jnp.asarray(True)
 
-    return make_level(env_id, gen, room_size, 3, 3)
+    return make_level(env_id, gen, room_size, 3, 3, instr_profile=B.single_profile("goto", "open", "pickup"))
 
 
 def make_find_obj(env_id: str, room_size: int = 5) -> Environment:
@@ -75,7 +75,7 @@ def make_find_obj(env_id: str, room_size: int = 5) -> Environment:
         state, ctx = rg.connect_all(k_conn, state, ctx, room_size)
         return state, _single(B.KIND_PICKUP, (kind, B.COLOR_ANY, 0)), jnp.asarray(True)
 
-    return make_level(env_id, gen, room_size, 3, 3, max_steps=20 * room_size**2)
+    return make_level(env_id, gen, room_size, 3, 3, max_steps=20 * room_size**2, instr_profile=B.single_profile("pickup"))
 
 
 def make_key_corridor(
@@ -107,7 +107,7 @@ def make_key_corridor(
         state, ctx = rg.connect_all(k_conn, state, ctx, room_size)
         return state, _single(B.KIND_PICKUP, (kind, B.COLOR_ANY, 0)), jnp.asarray(True)
 
-    return make_level(env_id, gen, room_size, num_rows, 3, max_steps=30 * room_size**2)
+    return make_level(env_id, gen, room_size, num_rows, 3, max_steps=30 * room_size**2, instr_profile=B.single_profile("pickup"))
 
 
 def make_one_room(env_id: str, room_size: int = 8) -> Environment:
@@ -121,7 +121,7 @@ def make_one_room(env_id: str, room_size: int = 8) -> Environment:
         state = rg.place_agent(k_agent, state, room_size)
         return state, _single(B.KIND_PICKUP, (OBJ_BALL, B.COLOR_ANY, 0)), jnp.asarray(True)
 
-    return make_level(env_id, gen, room_size, 1, 1)
+    return make_level(env_id, gen, room_size, 1, 1, instr_profile=B.single_profile("pickup"))
 
 
 def make_move_two_across(
@@ -153,4 +153,4 @@ def make_move_two_across(
         )
         return state, codes, jnp.asarray(True)
 
-    return make_level(env_id, gen, room_size, 1, 2, max_steps=16 * room_size**2)
+    return make_level(env_id, gen, room_size, 1, 2, max_steps=16 * room_size**2, instr_profile=(("before",), ("putnext",), (), ("putnext",), ()))

@@ -42,7 +42,7 @@ def make_pickup(
         n = jax.random.randint(k_pick, (), 0, 18)
         return state, _pickup_codes(kinds[n], colors[n]), ok
 
-    return make_level(env_id, gen, room_size, num_rows, num_cols)
+    return make_level(env_id, gen, room_size, num_rows, num_cols, instr_profile=B.single_profile("pickup"))
 
 
 def make_unblock_pickup(
@@ -65,7 +65,7 @@ def make_unblock_pickup(
         n = jax.random.randint(k_pick, (), 0, 20)
         return state, _pickup_codes(kinds[n], colors[n]), ok
 
-    return make_level(env_id, gen, room_size, num_rows, num_cols)
+    return make_level(env_id, gen, room_size, num_rows, num_cols, instr_profile=B.single_profile("pickup"))
 
 
 def make_pickup_dist(env_id: str, debug: bool = False) -> Environment:
@@ -86,7 +86,7 @@ def make_pickup_dist(env_id: str, debug: bool = False) -> Environment:
         color = jnp.where(by == 0, B.COLOR_ANY, colors[n])
         return state, _pickup_codes(kind, color, strict=int(debug)), jnp.asarray(True)
 
-    return make_level(env_id, gen, room_size, 1, 1)
+    return make_level(env_id, gen, room_size, 1, 1, instr_profile=B.single_profile("pickup"))
 
 
 def make_pickup_above(env_id: str) -> Environment:
@@ -105,7 +105,7 @@ def make_pickup_above(env_id: str) -> Environment:
         state, ctx = rg.connect_all(k_conn, state, ctx, room_size)
         return state, _pickup_codes(kind, color), jnp.asarray(True)
 
-    return make_level(env_id, gen, room_size, 3, 3, max_steps=8 * room_size**2)
+    return make_level(env_id, gen, room_size, 3, 3, max_steps=8 * room_size**2, instr_profile=B.single_profile("pickup"))
 
 
 # -- PutNext ------------------------------------------------------------------
@@ -138,7 +138,7 @@ def make_putnext_local(
         # generically in make_level's attempt.
         return state, codes, ok
 
-    return make_level(env_id, gen, room_size, 1, 1)
+    return make_level(env_id, gen, room_size, 1, 1, instr_profile=B.single_profile("putnext"))
 
 
 def make_putnext(
@@ -182,7 +182,8 @@ def make_putnext(
         return state, codes, jnp.asarray(True)
 
     env = make_level(
-        env_id, gen, room_size, 1, 2, max_steps=8 * room_size**2
+        env_id, gen, room_size, 1, 2, max_steps=8 * room_size**2,
+        instr_profile=B.single_profile("putnext"),
     )
     if start_carrying:
         inner_gen = env.generate

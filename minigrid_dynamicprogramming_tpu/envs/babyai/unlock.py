@@ -96,7 +96,7 @@ def make_unlock(
         ok = objs_reachable(state)
         return state, _open_codes(door_color), ok
 
-    return make_level(env_id, gen, room_size, num_rows, num_cols)
+    return make_level(env_id, gen, room_size, num_rows, num_cols, instr_profile=B.single_profile("open"))
 
 
 def make_unlock_local(env_id: str, distractors: bool = False) -> Environment:
@@ -119,7 +119,7 @@ def make_unlock_local(env_id: str, distractors: bool = False) -> Environment:
         state = rg.place_agent(k_agent, state, room_size, i=1, j=1, rows=3, cols=3)
         return state, _open_codes(B.COLOR_ANY), jnp.asarray(True)
 
-    return make_level(env_id, gen, room_size, 3, 3)
+    return make_level(env_id, gen, room_size, 3, 3, instr_profile=B.single_profile("open"))
 
 
 def make_key_in_box(env_id: str) -> Environment:
@@ -139,7 +139,7 @@ def make_key_in_box(env_id: str) -> Environment:
         state = rg.place_agent(k_agent, state, room_size, i=1, j=1, rows=3, cols=3)
         return state, _open_codes(B.COLOR_ANY), jnp.asarray(True)
 
-    return make_level(env_id, gen, room_size, 3, 3)
+    return make_level(env_id, gen, room_size, 3, 3, instr_profile=B.single_profile("open"))
 
 
 def make_unlock_pickup(env_id: str, distractors: bool = False) -> Environment:
@@ -166,7 +166,7 @@ def make_unlock_pickup(env_id: str, distractors: bool = False) -> Environment:
         state = rg.place_agent(k_agent, state, room_size, i=0, j=0, rows=1, cols=2)
         return state, _pickup_codes(OBJ_BOX, box_color), jnp.asarray(True)
 
-    return make_level(env_id, gen, room_size, 1, 2, max_steps=8 * room_size**2)
+    return make_level(env_id, gen, room_size, 1, 2, max_steps=8 * room_size**2, instr_profile=B.single_profile("pickup"))
 
 
 def make_blocked_unlock_pickup(env_id: str) -> Environment:
@@ -189,7 +189,7 @@ def make_blocked_unlock_pickup(env_id: str) -> Environment:
         state = rg.place_agent(k_agent, state, room_size, i=0, j=0, rows=1, cols=2)
         return state, _pickup_codes(OBJ_BOX, B.COLOR_ANY), jnp.asarray(True)
 
-    return make_level(env_id, gen, room_size, 1, 2, max_steps=16 * room_size**2)
+    return make_level(env_id, gen, room_size, 1, 2, max_steps=16 * room_size**2, instr_profile=B.single_profile("pickup"))
 
 
 def make_unlock_to_unlock(env_id: str) -> Environment:
@@ -220,4 +220,4 @@ def make_unlock_to_unlock(env_id: str) -> Environment:
         state = rg.place_agent(k_agent, state, room_size, i=1, j=0, rows=1, cols=3)
         return state, _pickup_codes(OBJ_BALL, B.COLOR_ANY), jnp.asarray(True)
 
-    return make_level(env_id, gen, room_size, 1, 3, max_steps=30 * room_size**2)
+    return make_level(env_id, gen, room_size, 1, 3, max_steps=30 * room_size**2, instr_profile=B.single_profile("pickup"))

@@ -91,6 +91,7 @@ def make_fetch(env_id: str, size: int = 8, num_objs: int = 3) -> Environment:
         params,
         generate,
         post_step=post_step,
+        hook_rng=False,  # reward/termination override only — no randomness
         post_step_lanes=post_step,  # elementwise over per-env scalars
         mission_text=mission_text,
     )

@@ -90,6 +90,7 @@ def make_gotodoor(env_id: str, size: int = 5) -> Environment:
         params,
         generate,
         post_step=post_step,
+        hook_rng=False,  # reward/termination override only — no randomness
         post_step_lanes=post_step,  # elementwise over per-env scalars
         mission_text=lambda c: f"go to the {IDX_TO_COLOR[int(c[0])]} door",
     )

@@ -84,6 +84,7 @@ def make_gotoobject(env_id: str, size: int = 6, num_objs: int = 2) -> Environmen
         params,
         generate,
         post_step=post_step,
+        hook_rng=False,  # reward/termination override only — no randomness
         post_step_lanes=post_step,  # elementwise over per-env scalars
         mission_text=mission_text,
     )

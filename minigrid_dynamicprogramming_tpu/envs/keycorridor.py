@@ -87,6 +87,7 @@ def make_keycorridor(
         params,
         generate,
         post_step=hook,
+        hook_rng=False,  # reward/termination override only — no randomness
         post_step_lanes=hook,  # elementwise over per-env scalars
         mission_text=mission_text,
     )

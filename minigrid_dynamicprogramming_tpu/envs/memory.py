@@ -117,6 +117,7 @@ def make_memory(
         params,
         generate,
         post_step=post_step,
+        hook_rng=False,  # reward/termination override only — no randomness
         post_step_lanes=post_step,  # elementwise over per-env scalars
         action_map=action_map,
         mission_text=lambda c: MISSION,

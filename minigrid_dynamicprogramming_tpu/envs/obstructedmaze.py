@@ -132,6 +132,7 @@ def make_obstructedmaze_1d(
         params,
         generate,
         post_step=(hook := pickup_target_post_step(params)),
+        hook_rng=False,  # reward/termination override only — no randomness
         post_step_lanes=hook,  # elementwise over per-env scalars
         mission_text=lambda c: "pick up the blue ball",
     )
@@ -213,6 +214,7 @@ def make_obstructedmaze_full(
         params,
         generate,
         post_step=(hook := pickup_target_post_step(params)),
+        hook_rng=False,  # reward/termination override only — no randomness
         post_step_lanes=hook,  # elementwise over per-env scalars
         mission_text=lambda c: "pick up the blue ball",
     )

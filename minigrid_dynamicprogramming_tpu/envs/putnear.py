@@ -121,6 +121,7 @@ def make_putnear(env_id: str, size: int = 6, num_objs: int = 2) -> Environment:
         params,
         generate,
         post_step=post_step,
+        hook_rng=False,  # reward/termination override only — no randomness
         post_step_lanes=post_step,  # layout-polymorphic via AG helpers
         mission_text=mission_text,
     )

@@ -79,6 +79,7 @@ def make_redbluedoors(env_id: str, size: int = 8) -> Environment:
         params,
         generate,
         post_step=post_step,
+        hook_rng=False,  # reward/termination override only — no randomness
         post_step_lanes=post_step,  # layout-polymorphic via AG.read_cell
         mission_text=lambda c: MISSION,
     )

@@ -74,6 +74,7 @@ def make_unlock(env_id: str) -> Environment:
         params,
         generate,
         post_step=post_step,
+        hook_rng=False,  # reward/termination override only — no randomness
         post_step_lanes=post_step,  # layout-polymorphic via AG.read_cell
         mission_text=lambda c: "open the door",
     )
@@ -110,6 +111,7 @@ def _make_pickup_variant(env_id: str, blocked: bool) -> Environment:
         params,
         generate,
         post_step=hook,
+        hook_rng=False,  # reward/termination override only — no randomness
         post_step_lanes=hook,  # elementwise over per-env scalars
         mission_text=lambda c: f"pick up the {IDX_TO_COLOR[int(c[0])]} box",
     )

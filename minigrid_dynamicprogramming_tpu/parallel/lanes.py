@@ -545,7 +545,7 @@ def step_lanes_env(
         action = env.action_map(params, action)
     prev = ls
     if env.pre_step_lanes is not None or env.post_step_lanes is not None:
-        if keys is None:
+        if keys is None or not env.hook_rng:
             k_pre = k_post = None
         else:
             ks = jax.vmap(lambda k: jax.random.split(k, 2))(keys)
@@ -676,7 +676,7 @@ def lane_rollout(
 
     hooked = (
         env.pre_step_lanes is not None or env.post_step_lanes is not None
-    )
+    ) and env.hook_rng
 
     def body(carry, key_t):
         ls, reset_count = carry
