@@ -25,6 +25,11 @@ import time
 
 import jax
 
+# Persistent compile cache: the generator programs are large; repeat bench
+# runs should pay compile once per program shape.
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_tpu_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
 import minigrid_dynamicprogramming_tpu as mgtpu
 from minigrid_dynamicprogramming_tpu.parallel.lanes import lane_rollout
 

@@ -240,21 +240,37 @@ def num_navs(codes) -> jnp.ndarray:
     return total
 
 
-def init_instr(params: EnvParams, state: EnvState, codes) -> EnvState:
-    """Resolve descriptors into mark bits, set mission codes + plural flags,
-    initialize verifier aux state and the per-episode step limit."""
-    codes = jnp.asarray(codes, dtype=jnp.int32)
-    marks = jnp.zeros_like(state.marks)
+def active_desc_slots(params: EnvParams):
+    """(c, l, d) descriptor slots this family can populate, from the static
+    instruction profile (all eight when no profile narrows it)."""
+    profile = params.opt("instr_profile") or GENERIC_PROFILE
+    leaf_kinds = profile[1:]
+    slots = []
     for c in range(2):
         for l in range(2):
-            for d in range(2):
-                dtype, dcolor, dloc = desc_fields(codes, c, l, d)
-                m = desc_match_mask(params, state, dtype, dcolor, dloc)
-                m &= desc_active(codes, c, l, d)
-                bit = desc_bit(c, l, d)
-                marks = marks | jnp.where(m, jnp.uint16(bit), jnp.uint16(0))
-                plural = (jnp.sum(m) > 1).astype(jnp.int32)
-                codes = codes.at[_desc_base(c, l, d) + 3].set(plural)
+            kinds = leaf_kinds[c * 2 + l]
+            if not kinds:
+                continue
+            slots.append((c, l, 0))
+            if "putnext" in kinds:
+                slots.append((c, l, 1))
+    return slots
+
+
+def init_instr(params: EnvParams, state: EnvState, codes) -> EnvState:
+    """Resolve descriptors into mark bits, set mission codes + plural flags,
+    initialize verifier aux state and the per-episode step limit.  Only the
+    profile's active descriptor slots are traced."""
+    codes = jnp.asarray(codes, dtype=jnp.int32)
+    marks = jnp.zeros_like(state.marks)
+    for c, l, d in active_desc_slots(params):
+        dtype, dcolor, dloc = desc_fields(codes, c, l, d)
+        m = desc_match_mask(params, state, dtype, dcolor, dloc)
+        m &= desc_active(codes, c, l, d)
+        bit = desc_bit(c, l, d)
+        marks = marks | jnp.where(m, jnp.uint16(bit), jnp.uint16(0))
+        plural = (jnp.sum(m) > 1).astype(jnp.int32)
+        codes = codes.at[_desc_base(c, l, d) + 3].set(plural)
 
     rs = params.opt("room_size", 8)
     nav_time_maze = rs * rs * params.opt("num_rows", 3) * params.opt("num_cols", 3)

@@ -41,7 +41,7 @@ def objs_reachable(state: EnvState) -> jnp.ndarray:
     xs = jnp.arange(w)[None, :]
     reach0 = (xs == state.agent_pos[0]) & (ys == state.agent_pos[1])
 
-    def body(_, reach):
+    def grow(reach):
         src = reach & passable
         grown = reach
         grown = grown | jnp.pad(src[1:], ((0, 1), (0, 0)))
@@ -50,7 +50,22 @@ def objs_reachable(state: EnvState) -> jnp.ndarray:
         grown = grown | jnp.pad(src[:, :-1], ((0, 0), (1, 0)))
         return grown
 
-    reach = jax.lax.fori_loop(0, (h * w) // 2 + 2, body, reach0)
+    # Grow to the monotone fixed point: identical result to the worst-case
+    # (h*w)//2+2 unrolled sweeps, but stops at the flood diameter (typically
+    # ~1/3 of the bound) — this runs inside the generation retry loop, so
+    # the iteration count is a first-order cost.
+    def cond(c):
+        reach, changed, it = c
+        return changed & (it < (h * w) // 2 + 2)
+
+    def body(c):
+        reach, _, it = c
+        grown = grow(reach)
+        return grown, jnp.any(grown != reach), it + 1
+
+    reach, _, _ = jax.lax.while_loop(
+        cond, body, (reach0, jnp.asarray(True), jnp.asarray(0, jnp.int32))
+    )
     is_obj = (obj != OBJ_EMPTY) & (obj != OBJ_WALL)
     return jnp.all(~is_obj | reach)
 
@@ -106,24 +121,31 @@ def make_level(
         state = new_state(p.height, p.width, rng=k_state)
         state, ctx = rg.init(k_init, state, room_size, num_rows, num_cols)
         state, codes, ok = gen_mission(k_mission, p, state, ctx)
-        state = B.init_instr(p, state, codes)
-        # Every active descriptor must match at least one object (the
+        # Validation directly on descriptor match masks (mark-plane
+        # materialization — init_instr — is hoisted out of the retry loop):
+        # every active descriptor must match at least one object (the
         # reference asserts this in ObjDesc.surface, verifier.py:78), and
         # PutNext leaves must not start already satisfied or with
-        # intersecting sets (roomgrid_level.py:159-176).
+        # intersecting sets (roomgrid_level.py:159-176).  Only the
+        # profile's possible slots are traced.
+        profile = p.opt("instr_profile") or B.GENERIC_PROFILE
+        leaf_kinds = profile[1:]
         for c in range(2):
             for l in range(2):
-                kind = B.leaf_kind(state.mission, c, l)
-                for d in range(2):
-                    bit = B.desc_bit(c, l, d)
-                    active = B.desc_active(state.mission, c, l, d)
-                    matched = jnp.any((state.marks & jnp.uint16(bit)) > 0) | (
-                        (state.carrying_marks & jnp.uint16(bit)) > 0
-                    )
-                    ok = ok & (matched | ~active)
-                is_put = kind == B.KIND_PUTNEXT
-                move = (state.marks & jnp.uint16(B.desc_bit(c, l, 0))) > 0
-                fixed = (state.marks & jnp.uint16(B.desc_bit(c, l, 1))) > 0
+                kinds = leaf_kinds[c * 2 + l]
+                if not kinds:
+                    continue
+                m = {}
+                n_desc = 2 if "putnext" in kinds else 1
+                for d in range(n_desc):
+                    dtype, dcolor, dloc = B.desc_fields(codes, c, l, d)
+                    m[d] = B.desc_match_mask(p, state, dtype, dcolor, dloc)
+                    active = B.desc_active(codes, c, l, d)
+                    ok = ok & (jnp.any(m[d]) | ~active)
+                if "putnext" not in kinds:
+                    continue
+                is_put = B.leaf_kind(codes, c, l) == B.KIND_PUTNEXT
+                move, fixed = m[0], m[1]
                 up = jnp.pad(fixed[1:], ((0, 1), (0, 0)))
                 down = jnp.pad(fixed[:-1], ((1, 0), (0, 0)))
                 left = jnp.pad(fixed[:, 1:], ((0, 0), (0, 1)))
@@ -132,7 +154,7 @@ def make_level(
                     move & fixed
                 )
                 ok = ok & (~is_put | ~bad)
-        return state, ok
+        return state, codes, ok
 
     def generate_stats(key: jax.Array, p: EnvParams):
         """``generate`` plus acceptance telemetry: (state, GenStats).
@@ -146,26 +168,29 @@ def make_level(
 
         # The attempt body is traced exactly once (inside the loop); the
         # init value is a zeros pytree of the right structure.
-        shapes = jax.eval_shape(lambda k: attempt(k, p)[0], key)
-        state0 = jax.tree_util.tree_map(
+        shapes = jax.eval_shape(lambda k: attempt(k, p)[:2], key)
+        zeros0 = jax.tree_util.tree_map(
             lambda s: jnp.zeros(s.shape, s.dtype), shapes
         )
 
         def cond(c):
-            _, ok, _, it = c
+            _, _, ok, _, it = c
             return (~ok) & (it < max_tries)
 
         def body(c):
-            _, _, key, it = c
+            _, _, _, key, it = c
             key, k = jax.random.split(key)
-            state, ok = attempt(k, p)
-            return state, ok, key, it + 1
+            state, codes, ok = attempt(k, p)
+            return state, codes, ok, key, it + 1
 
-        state, ok, _, it = jax.lax.while_loop(
+        state, codes, ok, _, it = jax.lax.while_loop(
             cond,
             body,
-            (state0, jnp.asarray(False), key, jnp.asarray(0, jnp.int32)),
+            (*zeros0, jnp.asarray(False), key, jnp.asarray(0, jnp.int32)),
         )
+        # Mark-plane materialization + verifier aux init once, on the
+        # accepted layout only (hoisted out of the rejection loop).
+        state = B.init_instr(p, state, codes)
         return state, GenStats(tries=it, ok=ok)
 
     def generate(key: jax.Array, p: EnvParams) -> EnvState:

@@ -427,7 +427,73 @@ def add_distractors(
     the distractor descriptors as (num,) arrays and positions (num, 2).
 
     The per-distractor loop is a ``lax.scan`` so the body traces once
-    regardless of count (keeps compile time flat across the env suite)."""
+    regardless of count (keeps compile time flat across the env suite).
+
+    Fixed-room calls take a one-shot path: sequential uniform placement
+    into an unchanging room rect is exactly sampling cells *without
+    replacement*, which the Gumbel-top-k trick draws in one op (likewise
+    the all_unique combo dedup over the 18 (kind, color) pairs).  This is
+    the distribution the reference's retry loops induce — not its draw
+    order — and it cuts the dominant cost of the single-room BabyAI
+    generators (the device generators are property/distribution-tested;
+    bit-exact seed parity is the twin's job, utils/parity_twin.py)."""
+    fixed_room = (i is not None and j is not None) or (rows == 1 and cols == 1)
+    if fixed_room:
+        ri = jnp.asarray(0 if i is None else i)
+        rj = jnp.asarray(0 if j is None else j)
+        k_cells, k_combo = jax.random.split(key)
+        valid = (
+            room_rect_mask(state, room_size, ri, rj)
+            & ~reject_next_to_mask(state)
+            & G.free_cell_mask(state)
+        )
+        h, w = state.grid_obj.shape
+        g = jnp.where(
+            valid.reshape(-1),
+            jax.random.gumbel(k_cells, (h * w,)),
+            -jnp.inf,
+        )
+        top_g, idx = jax.lax.top_k(g, num_distractors)
+        do = top_g > -jnp.inf  # fewer valid cells than distractors: skip
+        xs = (idx % w).astype(jnp.int32)
+        ys = (idx // w).astype(jnp.int32)
+        if all_unique:
+            cg = jnp.where(
+                ctx.used.reshape(-1), -jnp.inf, jax.random.gumbel(k_combo, (18,))
+            )
+            _, combos = jax.lax.top_k(cg, num_distractors)
+            kinds = OBJ_KINDS[combos // 6]
+            colors = (combos % 6).astype(jnp.int32)
+            ctx = ctx.replace(
+                used=ctx.used.reshape(-1).at[combos].set(True).reshape(3, 6)
+            )
+        else:
+            kk, kc = jax.random.split(k_combo)
+            kinds = OBJ_KINDS[jax.random.randint(kk, (num_distractors,), 0, 3)]
+            colors = jax.random.randint(kc, (num_distractors,), 0, 6)
+            ctx = ctx.replace(
+                used=ctx.used.at[
+                    jnp.argmax(
+                        OBJ_KINDS[None, :] == kinds[:, None], axis=1
+                    ),
+                    colors,
+                ].set(True)
+            )
+        sel_y = jnp.where(do, ys, 0)
+        sel_x = jnp.where(do, xs, 0)
+        keep_obj = state.grid_obj[sel_y, sel_x]
+        keep_col = state.grid_color[sel_y, sel_x]
+        state = state.replace(
+            grid_obj=state.grid_obj.at[sel_y, sel_x].set(
+                jnp.where(do, kinds.astype(jnp.uint8), keep_obj)
+            ),
+            grid_color=state.grid_color.at[sel_y, sel_x].set(
+                jnp.where(do, colors.astype(jnp.uint8), keep_col)
+            ),
+        )
+        poss = jnp.stack([xs, ys], axis=1)
+        return state, ctx, kinds.astype(jnp.int32), colors, poss
+
     keys = jax.random.split(key, num_distractors)
 
     def body(carry, k):
