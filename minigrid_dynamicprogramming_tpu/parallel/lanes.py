@@ -385,11 +385,18 @@ def obs_lanes(params: EnvParams, ls: LaneState):
         wy(u) = ay + py*u + qy      wx(t) = ax + px*t + qx
         view[vy, vx] = grid[wy(u), wx(t)],  (u, t) = (vx, vy) for horizontal
         facing (dir 0/2), (vy, vx) for vertical facing (dir 1/3).
+
+    The three uint8 planes are PACKED into one uint32 word per cell
+    (obj | color<<8 | state<<16) before the selection cascades, so every
+    compare-select runs once instead of three times — the cascades dominate
+    the whole rollout's VPU time (the TPU computes uint8 at 32-bit lane
+    width anyway, so packing is free parallelism).  Unpacked at the end.
     """
     w, h = params.width, params.height
     v = params.agent_view_size
     hs = v // 2
     u8 = jnp.uint8
+    u32 = jnp.uint32
 
     d = ls.agent_dir  # (B,)
     horiz = d % 2 == 0  # facing +x / -x
@@ -402,65 +409,53 @@ def obs_lanes(params: EnvParams, ls: LaneState):
     px = -sgn
     qx = ls.agent_x + sgn * jnp.where(horiz, v - 1, hs)
 
-    planes = (ls.grid_obj, ls.grid_color, ls.grid_state)
-    fill = (u8(OBJ_WALL), u8(COLOR_GREY), u8(0))  # OOB -> Wall (grid.py:136-139)
+    packed = (
+        ls.grid_obj.astype(u32)
+        | (ls.grid_color.astype(u32) << 8)
+        | (ls.grid_state.astype(u32) << 16)
+    )
+    fill = u32(OBJ_WALL | (COLOR_GREY << 8))  # OOB -> Wall (grid.py:136-139)
 
-    # Stage 1: pick v world rows.  rows[p][u] : (W, B) = grid_p[wy(u), :].
-    grids = [p.reshape(h, w, -1) for p in planes]
+    # Stage 1: pick v world rows.  row_sel[u] : (W, B) = packed[wy(u), :].
+    grid3 = packed.reshape(h, w, -1)
     row_sel = []
     for u in range(v):
         wy = py * u + qy  # (B,)
-        picks = []
-        for p_i in range(len(planes)):
-            acc = jnp.where(wy == 0, grids[p_i][0], fill[p_i])
-            for r in range(1, h):
-                acc = jnp.where(wy == r, grids[p_i][r], acc)
-            picks.append(acc)
-        row_sel.append(picks)
+        acc = jnp.where(wy == 0, grid3[0], fill)
+        for r in range(1, h):
+            acc = jnp.where(wy == r, grid3[r], acc)
+        row_sel.append(acc)
 
-    # Stage 2: pick v columns from each selected row -> T[p][u][t] : (B,).
+    # Stage 2: pick v columns from each selected row -> cols[t][u] : (B,).
     cols = []
     for t in range(v):
         wx = px * t + qx  # (B,)
-        sel = [
-            [
-                jnp.where(
-                    wx == 0, row_sel[u][p_i][0], fill[p_i]
-                )
-                for p_i in range(len(planes))
-            ]
-            for u in range(v)
-        ]
+        sel = [jnp.where(wx == 0, row_sel[u][0], fill) for u in range(v)]
         for c in range(1, w):
             hit = wx == c
             for u in range(v):
-                for p_i in range(len(planes)):
-                    sel[u][p_i] = jnp.where(
-                        hit, row_sel[u][p_i][c], sel[u][p_i]
-                    )
-        cols.append(sel)  # cols[t][u][p]
+                sel[u] = jnp.where(hit, row_sel[u][c], sel[u])
+        cols.append(sel)  # cols[t][u]
 
     # Orient: view[vy, vx] = T[u=vx, t=vy] when horizontal else T[u=vy, t=vx].
-    objs, colors, states = [], [], []
-    for vy in range(v):
-        for vx in range(v):
-            for p_i, out in ((0, objs), (1, colors), (2, states)):
-                out.append(
-                    jnp.where(
-                        horiz,
-                        cols[vy][vx][p_i],
-                        cols[vx][vy][p_i],
-                    )
-                )
-    obj = jnp.stack(objs)  # (VV, B)
-    color = jnp.stack(colors)
-    obj_state = jnp.stack(states)
+    cells = [
+        jnp.where(horiz, cols[vy][vx], cols[vx][vy])
+        for vy in range(v)
+        for vx in range(v)
+    ]
+    view = jnp.stack(cells)  # (VV, B) u32
+    obj = (view & 0xFF).astype(u8)
+    color = ((view >> 8) & 0xFF).astype(u8)
+    obj_state = (view >> 16).astype(u8)
 
     if params.see_through_walls:
         vis = jnp.ones(obj.shape, dtype=bool)
     else:
-        blocked = (obj == OBJ_WALL) | (
-            (obj == OBJ_DOOR) & (obj_state != STATE_OPEN)
+        # see-bit per view cell, directly off the packed word: not-see iff
+        # wall, or door whose state byte != open.
+        obj_b = view & 0xFF
+        blocked = (obj_b == OBJ_WALL) | (
+            (obj_b == OBJ_DOOR) & ((view >> 16) != STATE_OPEN)
         )
         vis = _process_vis_lanes(~blocked, v)
 
@@ -477,32 +472,55 @@ def obs_lanes(params: EnvParams, ls: LaneState):
 def _process_vis_lanes(see: jnp.ndarray, v: int) -> jnp.ndarray:
     """Lane-major port of the reference's sequential visibility sweep
     (grid.py:291-328); see ops.obs.process_vis for the derivation.  ``see``
-    is ``(v*v, B)`` bool; rows are static sublane slices, the left/right
-    OR-cascades are static sublane shifts."""
+    is ``(v*v, B)`` bool; the result is the same shape.
 
-    def sr(x):  # shift +vx within a (v, B) row slab
-        return jnp.concatenate([jnp.zeros_like(x[:1]), x[:-1]], axis=0)
+    Each view ROW is packed into v bits of one (B,) uint32 bitboard, so the
+    left/right OR-cascades are lane-local bit shifts instead of sublane-axis
+    concatenates (which cost a relayout each) — the whole sweep runs on
+    v uint32 vectors of B lanes."""
+    assert v <= 16, "row bitboard packs 2 rows of <=16 bits per uint32 word"
+    u32 = jnp.uint32
+    row_mask = u32((1 << v) - 1)
 
-    def sl(x):
-        return jnp.concatenate([x[1:], jnp.zeros_like(x[:1])], axis=0)
+    # Pack: sees[j] bit i = see[j*v + i].
+    sees = [
+        jnp.zeros_like(see[0], dtype=u32)
+        for _ in range(v)
+    ]
+    for j in range(v):
+        acc = see[j * v].astype(u32)
+        for i in range(1, v):
+            acc = acc | (see[j * v + i].astype(u32) << i)
+        sees[j] = acc
 
-    b = see.shape[1]
-    rows = [jnp.zeros((v, b), dtype=bool) for _ in range(v)]
-    rows[v - 1] = rows[v - 1].at[v // 2].set(True)
-    sees = [see[j * v : (j + 1) * v] for j in range(v)]
+    rows = [jnp.zeros_like(sees[0]) for _ in range(v)]
+    rows[v - 1] = jnp.full_like(sees[0], u32(1 << (v // 2)))
 
+    not_last = u32(row_mask ^ (1 << (v - 1)))
+    not_first = u32(row_mask ^ 1)
     for j in reversed(range(v)):
         row, see_row = rows[j], sees[j]
         for _ in range(v - 1):
-            row = row | sr(row & see_row)
-        cond1 = (row & see_row).at[v - 1].set(False)
+            row = row | (((row & see_row) << 1) & row_mask)
+        cond1 = row & see_row & not_last
         for _ in range(v - 1):
-            row = row | sl(row & see_row)
-        cond2 = (row & see_row).at[0].set(False)
+            row = row | ((row & see_row) >> 1)
+        cond2 = row & see_row & not_first
         rows[j] = row
         if j > 0:
-            rows[j - 1] = rows[j - 1] | cond1 | sr(cond1) | cond2 | sl(cond2)
-    return jnp.concatenate(rows, axis=0)
+            rows[j - 1] = (
+                rows[j - 1]
+                | cond1
+                | ((cond1 << 1) & row_mask)
+                | cond2
+                | (cond2 >> 1)
+            )
+
+    # Unpack back to (v*v, B) bool.
+    bits = [
+        ((rows[j] >> i) & 1).astype(bool) for j in range(v) for i in range(v)
+    ]
+    return jnp.stack(bits)
 
 
 def obs_image_lanes(params: EnvParams, ls: LaneState) -> jnp.ndarray:
