@@ -66,12 +66,27 @@ def read_cell(params: EnvParams, state, field: str, x, y):
     return plane[y, x]
 
 
+_GATED_PLANES = {
+    "no_boxes": ("contains_obj", "contains_color"),
+    "no_marks": ("marks", "vmarks"),
+}
+
+
 def write_cell(params: EnvParams, state, x, y, do, **values):
     """Conditionally write named planes at per-env (x, y).
 
     ``values`` maps plane field name -> new value (scalar constant or
     per-env array); ``do`` is the per-env write-enable mask.
+
+    Planes gated off for the env family (registry plane gates — the family
+    can never place a Box / a verifier mark, so the plane is statically
+    constant) are dropped from the write set: the write would be an
+    identity, and eliding it keeps the plane a pass-through carry in
+    rollouts.
     """
+    for flag, fields in _GATED_PLANES.items():
+        if params.opt(flag, False):
+            values = {k: v for k, v in values.items() if k not in fields}
     if is_lanes(state):
         hw = params.height * params.width
         oh = _cell_onehot(hw, y * params.width + x)

@@ -194,6 +194,12 @@ def step_lanes(
     hw = h * w
     action = action.astype(jnp.int32)
     step_count = ls.step_count + 1
+    # Static plane gates (registry._reg): families that can never hold a Box
+    # (or a BabyAI mark) skip those planes entirely — reads become constants,
+    # writes are elided, and the untouched planes ride the rollout carry for
+    # free instead of costing a read+write pass per step.
+    no_boxes = bool(params.opt("no_boxes", False))
+    no_marks = bool(params.opt("no_marks", False))
 
     dx, dy = _dir_vec(ls.agent_dir)
     fx = ls.agent_x + dx
@@ -206,13 +212,22 @@ def step_lanes(
     fwd_obj = jnp.where(in_bounds, _read(ls.grid_obj, oh), u8(OBJ_WALL))
     fwd_color = jnp.where(in_bounds, _read(ls.grid_color, oh), u8(0))
     fwd_state = jnp.where(in_bounds, _read(ls.grid_state, oh), u8(0))
-    fwd_contains = jnp.where(in_bounds, _read(ls.contains_obj, oh), u8(OBJ_EMPTY))
-    fwd_contains_color = jnp.where(
-        in_bounds, _read(ls.contains_color, oh), u8(0)
-    )
-    fwd_marks = jnp.where(
-        in_bounds, _read(ls.marks, oh), jnp.zeros((), ls.marks.dtype)
-    )
+    if no_boxes:
+        fwd_contains = u8(OBJ_EMPTY)
+        fwd_contains_color = u8(0)
+    else:
+        fwd_contains = jnp.where(
+            in_bounds, _read(ls.contains_obj, oh), u8(OBJ_EMPTY)
+        )
+        fwd_contains_color = jnp.where(
+            in_bounds, _read(ls.contains_color, oh), u8(0)
+        )
+    if no_marks:
+        fwd_marks = jnp.zeros((), ls.marks.dtype)
+    else:
+        fwd_marks = jnp.where(
+            in_bounds, _read(ls.marks, oh), jnp.zeros((), ls.marks.dtype)
+        )
 
     is_left = action == ACT_LEFT
     is_right = action == ACT_RIGHT
@@ -316,9 +331,15 @@ def step_lanes(
     grid_obj = _write(ls.grid_obj, oh, touched, cell_obj)
     grid_color = _write(ls.grid_color, oh, touched, cell_color)
     grid_state = _write(ls.grid_state, oh, touched, cell_state)
-    contains_obj = _write(ls.contains_obj, oh, touched, cell_contains)
-    contains_color = _write(ls.contains_color, oh, touched, cell_contains_color)
-    marks = _write(ls.marks, oh, touched, cell_marks)
+    if no_boxes:
+        contains_obj = ls.contains_obj
+        contains_color = ls.contains_color
+    else:
+        contains_obj = _write(ls.contains_obj, oh, touched, cell_contains)
+        contains_color = _write(
+            ls.contains_color, oh, touched, cell_contains_color
+        )
+    marks = ls.marks if no_marks else _write(ls.marks, oh, touched, cell_marks)
 
     new_carrying_marks = jnp.where(
         do_pickup, fwd_marks, jnp.where(do_drop, zero_m, ls.carrying_marks)
@@ -386,11 +407,16 @@ def obs_lanes(params: EnvParams, ls: LaneState):
         view[vy, vx] = grid[wy(u), wx(t)],  (u, t) = (vx, vy) for horizontal
         facing (dir 0/2), (vy, vx) for vertical facing (dir 1/3).
 
-    The three uint8 planes are PACKED into one uint32 word per cell
-    (obj | color<<8 | state<<16) before the selection cascades, so every
-    compare-select runs once instead of three times — the cascades dominate
-    the whole rollout's VPU time (the TPU computes uint8 at 32-bit lane
-    width anyway, so packing is free parallelism).  Unpacked at the end.
+    The gather itself is BIT-SLICED: each cell compresses to a 7-bit code
+    (door states fold into the object nibble — obj 0..10, door-open/closed/
+    locked as 11/12/13 — plus 3 color bits), world rows pack 4 cells per
+    uint32 word with a static (v-1)-cell wall extension on both sides (the
+    OOB fill), and the per-env column window becomes ONE per-lane funnel
+    shift of the selected row words instead of a W-deep compare-select
+    cascade per view cell.  Direction-dependent column reversal is resolved
+    at unpack time from static bit positions.  Everything runs on (B,)
+    uint32 vectors — the TPU computes uint8 at 32-bit lane width anyway, so
+    the packing is free parallelism.
     """
     w, h = params.width, params.height
     v = params.agent_view_size
@@ -409,54 +435,113 @@ def obs_lanes(params: EnvParams, ls: LaneState):
     px = -sgn
     qx = ls.agent_x + sgn * jnp.where(horiz, v - 1, hs)
 
-    packed = (
-        ls.grid_obj.astype(u32)
-        | (ls.grid_color.astype(u32) << 8)
-        | (ls.grid_state.astype(u32) << 16)
-    )
-    fill = u32(OBJ_WALL | (COLOR_GREY << 8))  # OOB -> Wall (grid.py:136-139)
+    CPW = 4  # 7-bit cells per uint32 word
+    ext = v - 1  # static wall padding on both row ends (the OOB fill)
+    we = w + 2 * ext  # extended row length in cells
+    nwords = -(-we // CPW)
+    WALL7 = OBJ_WALL | (COLOR_GREY << 4)  # Wall is grey (grid.py:136-139)
+    DOOR7 = 11  # door codes 11+state (open=11, closed=12, locked=13)
+    wall_word = 0
+    for i in range(CPW):
+        wall_word |= WALL7 << (7 * i)
 
-    # Stage 1: pick v world rows.  row_sel[u] : (W, B) = packed[wy(u), :].
-    grid3 = packed.reshape(h, w, -1)
-    row_sel = []
+    # 1. 7-bit cell codes.
+    obj32 = ls.grid_obj.astype(u32)
+    code = jnp.where(
+        obj32 == OBJ_DOOR, DOOR7 + ls.grid_state.astype(u32), obj32
+    ) | (ls.grid_color.astype(u32) << 4)
+    code3 = code.reshape(h, w, -1)  # (H, W, B)
+
+    # 2. pack extended rows: rows[r][k] (B,) u32, ext cell j = world col j-ext.
+    zero_w = jnp.zeros_like(code[0])
+    rows = []
+    for r in range(h):
+        words = []
+        for k in range(nwords):
+            acc = None
+            const_bits = 0
+            for i in range(CPW):
+                j = k * CPW + i
+                if j >= we:
+                    const_bits |= WALL7 << (7 * i)  # pad tail as wall too
+                    continue
+                c = j - ext
+                if 0 <= c < w:
+                    term = code3[r, c] << (7 * i)
+                    acc = term if acc is None else acc | term
+                else:
+                    const_bits |= WALL7 << (7 * i)
+            if acc is None:
+                words.append(zero_w + u32(const_bits))
+            elif const_bits:
+                words.append(acc | u32(const_bits))
+            else:
+                words.append(acc)
+        rows.append(words)
+
+    # 3. stage 1: select the v world rows (OOB rows -> all-wall words).
+    sel = []  # sel[u][k] : (B,) u32
     for u in range(v):
         wy = py * u + qy  # (B,)
-        acc = jnp.where(wy == 0, grid3[0], fill)
-        for r in range(1, h):
-            acc = jnp.where(wy == r, grid3[r], acc)
-        row_sel.append(acc)
+        accs = [zero_w + u32(wall_word) for _ in range(nwords)]
+        for r in range(h):
+            hit = wy == r
+            accs = [jnp.where(hit, rows[r][k], a) for k, a in enumerate(accs)]
+        sel.append(accs)
 
-    # Stage 2: pick v columns from each selected row -> cols[t][u] : (B,).
-    cols = []
-    for t in range(v):
-        wx = px * t + qx  # (B,)
-        sel = [jnp.where(wx == 0, row_sel[u][0], fill) for u in range(v)]
-        for c in range(1, w):
-            hit = wx == c
-            for u in range(v):
-                sel[u] = jnp.where(hit, row_sel[u][c], sel[u])
-        cols.append(sel)  # cols[t][u]
+    # 4. stage 2: funnel-shift the v-cell column window out of each row.
+    # Window world cols are qx+px*t; in ext-cell coordinates the FORWARD
+    # (ascending-col) window starts at s = qx + (0 if px<0 else ext), and a
+    # px<0 view reads it reversed (resolved at unpack).  s in [0, w+ext-1].
+    rev = px < 0
+    s = qx + jnp.where(rev, 0, ext)  # (B,) i32
+    k0 = s // CPW
+    bsh = ((s % CPW) * 7).astype(u32)  # (B,) u32 bit shift within word
+    csh = u32(7 * CPW) - bsh  # complement shift (<=28 < 32: no UB)
+    nout = -(-v // CPW)  # output words per window
+    MASK28 = u32((1 << (7 * CPW)) - 1)
+    window = []  # window[u][j] : (B,) u32, cells 4j..4j+3 of the window
+    for u in range(v):
+        padded = sel[u] + [zero_w, zero_w]  # k0+j+1 may run past the row
+        # gather padded[k0+j] for j in 0..nout by one cascade over k0
+        gs = []
+        for j in range(nout + 1):
+            g = padded[j]
+            for kk in range(1, nwords):
+                if kk + j < len(padded):
+                    g = jnp.where(k0 == kk, padded[kk + j], g)
+            gs.append(g)
+        outs = []
+        for j in range(nout):
+            outj = ((gs[j] >> bsh) | (gs[j + 1] << csh)) & MASK28
+            outs.append(outj)
+        window.append(outs)
 
-    # Orient: view[vy, vx] = T[u=vx, t=vy] when horizontal else T[u=vy, t=vx].
-    cells = [
-        jnp.where(horiz, cols[vy][vx], cols[vx][vy])
-        for vy in range(v)
-        for vx in range(v)
-    ]
-    view = jnp.stack(cells)  # (VV, B) u32
-    obj = (view & 0xFF).astype(u8)
-    color = ((view >> 8) & 0xFF).astype(u8)
-    obj_state = (view >> 16).astype(u8)
+    # 5. orientation-aware unpack: cell (vy,vx) reads window[u] at the
+    # static bit of t or (v-1-t) depending on the reversal lane bit.
+    def _extract(u, t):
+        return (window[u][t // CPW] >> (7 * (t % CPW))) & 0x7F
+
+    cells = []
+    for vy in range(v):
+        for vx in range(v):
+            eh = jnp.where(rev, _extract(vx, v - 1 - vy), _extract(vx, vy))
+            ev = jnp.where(rev, _extract(vy, v - 1 - vx), _extract(vy, vx))
+            cells.append(jnp.where(horiz, eh, ev))
+    view = jnp.stack(cells)  # (VV, B) u32 of 7-bit codes
+
+    # 6. decode codes back to the wire-format planes.
+    c4 = view & 0xF
+    is_door = c4 >= DOOR7
+    obj = jnp.where(is_door, u32(OBJ_DOOR), c4).astype(u8)
+    obj_state = jnp.where(is_door, c4 - DOOR7, u32(0)).astype(u8)
+    color = (view >> 4).astype(u8)
 
     if params.see_through_walls:
         vis = jnp.ones(obj.shape, dtype=bool)
     else:
-        # see-bit per view cell, directly off the packed word: not-see iff
-        # wall, or door whose state byte != open.
-        obj_b = view & 0xFF
-        blocked = (obj_b == OBJ_WALL) | (
-            (obj_b == OBJ_DOOR) & ((view >> 16) != STATE_OPEN)
-        )
+        # not-see iff wall, or closed/locked door (codes 12, 13).
+        blocked = (c4 == OBJ_WALL) | (c4 >= DOOR7 + STATE_CLOSED)
         vis = _process_vis_lanes(~blocked, v)
 
     # Carried-object overlay at the agent cell (minigrid_env.py:618-625).
@@ -599,11 +684,20 @@ def _bcast_done(done, leaf, batch_first: bool):
     return done.reshape((1,) * (leaf.ndim - 1) + done.shape)
 
 
-def _select_lanes(done, fresh: LaneState, cur: LaneState) -> LaneState:
-    """Per-lane ``where(done, fresh, cur)`` respecting each field's layout."""
+def _select_lanes(
+    done, fresh: LaneState, cur: LaneState, skip: tuple = ()
+) -> LaneState:
+    """Per-lane ``where(done, fresh, cur)`` respecting each field's layout.
+
+    Fields in ``skip`` pass the current value through untouched — used for
+    planes that are statically constant for the env family (registry plane
+    gates), where ``fresh == cur`` by invariant."""
     out = {}
     for name in fresh.__dataclass_fields__:
         a, b = getattr(fresh, name), getattr(cur, name)
+        if name in skip:
+            out[name] = b
+            continue
         out[name] = jnp.where(
             _bcast_done(done, a, name in _BATCH_FIRST_FIELDS), a, b
         )
@@ -696,6 +790,12 @@ def lane_rollout(
         env.pre_step_lanes is not None or env.post_step_lanes is not None
     ) and env.hook_rng
 
+    skip = ()
+    if env.params.opt("no_boxes", False):
+        skip += ("contains_obj", "contains_color")
+    if env.params.opt("no_marks", False):
+        skip += ("marks", "vmarks")
+
     def body(carry, key_t):
         ls, reset_count = carry
         k_act, k_env = jax.random.split(key_t)
@@ -714,7 +814,7 @@ def lane_rollout(
             fresh = init_ls
         else:
             raise ValueError(f"unknown autoreset mode {autoreset!r}")
-        ls = _select_lanes(done, fresh, ls)
+        ls = _select_lanes(done, fresh, ls, skip)
         # Full observation encode every step, checksummed in lane layout so
         # nothing is dead-code-eliminated and nothing transposes batch-first.
         obj, color, obj_state, vis = obs_lanes(env.params, ls)

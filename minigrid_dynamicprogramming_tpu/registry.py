@@ -41,10 +41,45 @@ def family(env_id: str) -> str:
     return _FAMILY.get(env_id, "misc")
 
 
+# Families whose generators can never place a Box (nor, being MiniGrid
+# rather than BabyAI, any verifier mark): the step/reset kernels statically
+# skip the contains/marks planes for them — the planes stay constant, so
+# XLA carries them through rollouts untouched (parallel/lanes.py).
+_BOX_FREE_FAMILIES = frozenset(
+    {
+        "empty",
+        "doorkey",
+        "fourrooms",
+        "crossing",
+        "distshift",
+        "lavagap",
+        "dynamicobstacles",
+        "fetch",
+        "gotodoor",
+        "lockedroom",
+        "memory",
+        "multiroom",
+        "redbluedoors",
+        "keycorridor",
+    }
+)
+
+
 def _reg(env_id: str, factory, **kwargs) -> None:
-    register(env_id, lambda: factory(env_id, **kwargs))
     name = getattr(factory, "__name__", "misc")
-    _FAMILY[env_id] = name[5:] if name.startswith("make_") else name
+    fam = name[5:] if name.startswith("make_") else name
+
+    def build() -> Environment:
+        env = factory(env_id, **kwargs)
+        if not env_id.startswith("BabyAI-"):
+            flags = {"no_marks": True}
+            if fam in _BOX_FREE_FAMILIES:
+                flags["no_boxes"] = True
+            env.params = env.params.with_extra(**flags)
+        return env
+
+    register(env_id, build)
+    _FAMILY[env_id] = fam
 
 
 def _register_all() -> None:
