@@ -191,7 +191,22 @@ def main() -> None:
         action="store_true",
         help="also report generation acceptance-rate telemetry for --env-id",
     )
+    p.add_argument(
+        "--audit",
+        action="store_true",
+        help="run the on-device integer-lowering audit "
+        "(utils/device_audit.py) before benchmarking and print the report",
+    )
     args = p.parse_args()
+
+    if args.audit:
+        import json
+
+        from minigrid_dynamicprogramming_tpu.utils.device_audit import (
+            audit_device,
+        )
+
+        print("device_audit:", json.dumps(audit_device()))
 
     import contextlib
 

@@ -23,6 +23,7 @@ from minigrid_dynamicprogramming_tpu.envs.babyai.level import (
     objs_reachable,
     open_all_doors,
 )
+from minigrid_dynamicprogramming_tpu.ops import grid as G
 from minigrid_dynamicprogramming_tpu.ops import roomgrid as rg
 
 COLOR_RED, COLOR_BLUE = 0, 2
@@ -50,12 +51,15 @@ def make_goto_red_ball_grey(
             k_dist, state, ctx, room_size, 1, 1, 0, 0,
             num_distractors=num_dists, all_unique=False,
         )
-        # All distractors repainted grey (goto.py:71-72).
-        state = state.replace(
-            grid_color=state.grid_color.at[poss[:, 1], poss[:, 0]].set(
-                jnp.uint8(COLOR_GREY)
+        # All distractors repainted grey (goto.py:71-72), scatter-free —
+        # batched dynamic scatters miscompile on the axon TPU backend
+        # (ops/grid.py:cell_set).
+        grid_color = state.grid_color
+        for t in range(num_dists):
+            grid_color = G.cell_set(
+                grid_color, poss[t, 1], poss[t, 0], COLOR_GREY
             )
-        )
+        state = state.replace(grid_color=grid_color)
         ok = objs_reachable(state)
         return state, _goto_codes(OBJ_BALL, COLOR_RED), ok
 

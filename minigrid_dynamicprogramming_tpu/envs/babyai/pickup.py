@@ -13,6 +13,7 @@ from minigrid_dynamicprogramming_tpu.envs.babyai.level import (
     make_level,
     objs_reachable,
 )
+from minigrid_dynamicprogramming_tpu.ops import grid as G
 from minigrid_dynamicprogramming_tpu.ops import roomgrid as rg
 
 
@@ -196,9 +197,9 @@ def make_putnext(
             color = state.grid_color[y, x]
             mk = state.marks[y, x]
             return state.replace(
-                grid_obj=state.grid_obj.at[y, x].set(jnp.uint8(OBJ_EMPTY)),
-                grid_color=state.grid_color.at[y, x].set(jnp.uint8(0)),
-                marks=state.marks.at[y, x].set(jnp.uint8(0)),
+                grid_obj=G.cell_set(state.grid_obj, y, x, OBJ_EMPTY),
+                grid_color=G.cell_set(state.grid_color, y, x, 0),
+                marks=G.cell_set(state.marks, y, x, 0),
                 carrying_obj=kind,
                 carrying_color=color,
                 carrying_marks=mk,

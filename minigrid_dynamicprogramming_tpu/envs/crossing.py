@@ -70,7 +70,9 @@ def make_crossing(
 
         # Uniform k-subset of candidate rivers = first k of a permutation.
         perm = jax.random.permutation(keys[0], ncand)
-        sel = jnp.zeros((ncand,), dtype=bool).at[perm[:k]].set(True)
+        # one-hot reduce, NOT a bool scatter (axon TPU miscompile class,
+        # ops/grid.py:cell_set)
+        sel = (jnp.arange(ncand)[None, :] == perm[:k, None]).any(axis=0)
         sel_v, sel_h = sel[:ncv], sel[ncv:]
         pos_v = jnp.asarray(cand_v, dtype=jnp.int32)
         pos_h = jnp.asarray(cand_h, dtype=jnp.int32)
@@ -103,7 +105,10 @@ def make_crossing(
         # Shuffled crossing order: nv horizontal-direction crossings (over the
         # vertical rivers) and k-nv vertical ones (crossing.py:154-156).
         order = jax.random.permutation(keys[1], k)
-        path_is_h = jnp.zeros((k,), dtype=bool).at[order].set(jnp.arange(k) < nv)
+        path_is_h = (
+            (jnp.arange(k)[None, :] == order[:, None])
+            & (jnp.arange(k) < nv)[:, None]
+        ).any(axis=0)
 
         # Sequential room walk opening one cell per crossing
         # (crossing.py:158-177).

@@ -129,14 +129,21 @@ def _attempt(key: jax.Array, n_max: int, min_sz: int, max_sz: int, num_rooms):
         found = ok.any()
         accept = in_chain & found
 
-        tops = tops.at[idx].set(
-            jnp.where(accept, jnp.stack([top_x[first], top_y[first]]), tops[idx])
+        # row_set/elem_set (dynamic_update_slice), not dynamic scatters —
+        # those miscompile on the axon TPU backend at large batch
+        # (ops/grid.py:cell_set).
+        tops = G.row_set(
+            tops, idx,
+            jnp.where(accept, jnp.stack([top_x[first], top_y[first]]), tops[idx]),
         )
-        sizes = sizes.at[idx].set(jnp.where(accept, sz[first], sizes[idx]))
-        entries = entries.at[idx].set(
+        sizes = G.row_set(
+            sizes, idx, jnp.where(accept, sz[first], sizes[idx])
+        )
+        entries = G.row_set(
+            entries, idx,
             jnp.where(
                 accept, jnp.stack([exit_x[first], exit_y[first]]), entries[idx]
-            )
+            ),
         )
         entry_wall = jnp.where(accept, next_entry_wall[first], entry_wall)
         count = count + accept.astype(jnp.int32)

@@ -103,7 +103,11 @@ def write_cell(params: EnvParams, state, x, y, do, **values):
     for name, val in values.items():
         plane = getattr(state, name)
         val = jnp.asarray(val, plane.dtype)
-        upd[name] = plane.at[y, x].set(jnp.where(do, val, plane[y, x]))
+        # cell_set_dense (one-hot where), NOT .at[].set: batched dynamic
+        # scatters miscompile on the axon TPU backend, and hooks run
+        # inside the rollout scan where DUS lowers pathologically
+        # (ops/grid.py:cell_set).
+        upd[name] = G.cell_set_dense(plane, y, x, jnp.where(do, val, plane[y, x]))
     return state.replace(**upd)
 
 

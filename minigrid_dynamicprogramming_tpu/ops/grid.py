@@ -30,6 +30,50 @@ from minigrid_dynamicprogramming_tpu.core.constants import (
 from minigrid_dynamicprogramming_tpu.core.state import EnvState
 
 
+def cell_set(plane: jnp.ndarray, y, x, val) -> jnp.ndarray:
+    """``plane[y, x] = val`` for traced scalar indices, WITHOUT a scatter.
+
+    Batched dynamic-index scatters MISCOMPILE on the experimental axon TPU
+    backend at large batch — sub-32-bit dtypes from batch ~2k, and even
+    int32 at batch 64k: bit-identical on CPU, silently wrong cells on
+    device (probe battery: utils/device_audit.py; run `benchmark --audit`
+    after any backend upgrade).  The two correct lowerings there are
+    ``dynamic_update_slice`` and the one-hot ``where`` — and each is only
+    fast in one context: batched DUS is pathological inside the rollout
+    ``scan`` (~60x, huge compile), the one-hot where is pathological
+    inside the vmapped rejection ``while_loop``s of the generators (~5x).
+    Hence two variants:
+
+    * ``cell_set`` (this, DUS) — for GENERATION-side writes;
+    * ``cell_set_dense`` (one-hot) — for step/hook writes inside scans.
+
+    DUS clamps out-of-range starts; callers gate OOB writes with ``where``.
+    """
+    v = jnp.asarray(val, plane.dtype).reshape((1, 1))
+    return jax.lax.dynamic_update_slice(plane, v, (y, x))
+
+
+def elem_set(arr: jnp.ndarray, i, val) -> jnp.ndarray:
+    """``arr[i] = val`` (1-D), scatter-free: see :func:`cell_set`."""
+    v = jnp.asarray(val, arr.dtype).reshape((1,))
+    return jax.lax.dynamic_update_slice(arr, v, (i,))
+
+
+def row_set(arr: jnp.ndarray, i, row) -> jnp.ndarray:
+    """``arr[i, :] = row`` (2-D), scatter-free: see :func:`cell_set`."""
+    v = jnp.asarray(row, arr.dtype).reshape((1, -1))
+    return jax.lax.dynamic_update_slice(arr, v, (i, 0))
+
+
+def cell_set_dense(plane: jnp.ndarray, y, x, val) -> jnp.ndarray:
+    """One-hot ``where`` variant of :func:`cell_set` for writes inside the
+    rollout scan (see cell_set's docstring).  OOB indices write nothing."""
+    ys = jnp.arange(plane.shape[0], dtype=jnp.int32)[:, None]
+    xs = jnp.arange(plane.shape[1], dtype=jnp.int32)[None, :]
+    hit = (ys == y) & (xs == x)
+    return jnp.where(hit, jnp.asarray(val, plane.dtype), plane)
+
+
 def put_obj(
     state: EnvState,
     x,
@@ -42,13 +86,11 @@ def put_obj(
 ) -> EnvState:
     """Write one cell; coordinates may be traced scalars."""
     return state.replace(
-        grid_obj=state.grid_obj.at[y, x].set(jnp.uint8(obj)),
-        grid_color=state.grid_color.at[y, x].set(jnp.uint8(color)),
-        grid_state=state.grid_state.at[y, x].set(jnp.uint8(obj_state)),
-        contains_obj=state.contains_obj.at[y, x].set(jnp.uint8(contains_obj)),
-        contains_color=state.contains_color.at[y, x].set(
-            jnp.uint8(contains_color)
-        ),
+        grid_obj=cell_set(state.grid_obj, y, x, obj),
+        grid_color=cell_set(state.grid_color, y, x, color),
+        grid_state=cell_set(state.grid_state, y, x, obj_state),
+        contains_obj=cell_set(state.contains_obj, y, x, contains_obj),
+        contains_color=cell_set(state.contains_color, y, x, contains_color),
     )
 
 

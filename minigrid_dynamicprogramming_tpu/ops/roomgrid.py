@@ -142,18 +142,28 @@ def _neighbor(rows: int, cols: int, i, j, k):
     return ni, nj
 
 
+def _edge_set(edge, j, i, k, value):
+    # dynamic_update_slice, not a scatter (axon TPU miscompile class,
+    # ops/grid.py:cell_set)
+    v = jnp.asarray(value, edge.dtype).reshape(1, 1, 1)
+    return jax.lax.dynamic_update_slice(edge, v, (j, i, k))
+
+
 def set_edge(ctx: RoomCtx, i, j, k, value) -> RoomCtx:
     rows, cols = ctx.locked.shape
     ni, nj = _neighbor(rows, cols, i, j, k)
-    edge = ctx.edge.at[j, i, k].set(value)
-    edge = edge.at[nj, ni, (jnp.asarray(k) + 2) % 4].set(value)
+    edge = _edge_set(ctx.edge, j, i, jnp.asarray(k), value)
+    edge = _edge_set(edge, nj, ni, (jnp.asarray(k) + 2) % 4, value)
     return ctx.replace(edge=edge)
 
 
 def mark_used(ctx: RoomCtx, kind, color) -> RoomCtx:
-    """Record a placed (kind, color) combo for all_unique distractor dedup."""
+    """Record a placed (kind, color) combo for all_unique distractor dedup.
+
+    cell_set, NOT a bool scatter — sub-32-bit scatters miscompile on the
+    axon TPU backend at large batch (ops/grid.py:cell_set)."""
     kind_idx = jnp.argmax(OBJ_KINDS == jnp.asarray(kind, jnp.int32))
-    return ctx.replace(used=ctx.used.at[kind_idx, color].set(True))
+    return ctx.replace(used=G.cell_set(ctx.used, kind_idx, color, True))
 
 
 def add_door(
@@ -190,7 +200,7 @@ def add_door(
         jnp.where(locked, STATE_LOCKED, STATE_CLOSED),
     )
     ctx = set_edge(ctx, i, j, door_idx, EDGE_DOOR)
-    ctx = ctx.replace(locked=ctx.locked.at[j, i].set(locked))
+    ctx = ctx.replace(locked=G.cell_set(ctx.locked, j, i, locked))
     return state, ctx, (x, y), jnp.asarray(color), door_idx
 
 
@@ -338,33 +348,43 @@ def connect_all(
     start_i = state.agent_pos[0] // pitch
     start_j = state.agent_pos[1] // pitch
 
-    def reachable(edge):
-        reach = jnp.zeros((rows, cols), dtype=bool).at[start_j, start_i].set(True)
+    # Room-graph flood fill on a per-env BITBOARD: room (j, i) is bit
+    # j*cols+i of one int32, so the whole fill is scalar bit ops.  (The
+    # previous form — batched rolls over the tiny (rows, cols) bool plane —
+    # additionally MISCOMPILED on the axon TPU backend at batch >= ~2k:
+    # bit-identical on CPU, wrong reach sets on device.  Scalar bitboards
+    # avoid tiny-minor-dim tiling entirely and are faster anyway.)
+    assert rows * cols <= 30, "room-graph bitboard packs into int32"
+    i32 = jnp.int32
+    full_mask = i32((1 << (rows * cols)) - 1)
+    not_last_col = i32(
+        sum(1 << (j * cols + i) for j in range(rows) for i in range(cols - 1))
+    )
+    not_first_col = i32(
+        sum(1 << (j * cols + i) for j in range(rows) for i in range(1, cols))
+    )
+
+    def reachable_bits(edge):
+        bits = [jnp.zeros((), i32) for _ in range(4)]
+        for j in range(rows):
+            for i in range(cols):
+                b = i32(1 << (j * cols + i))
+                for k in range(4):
+                    bits[k] = bits[k] | jnp.where(edge[j, i, k] > 0, b, i32(0))
+        e_right, e_down, e_left, e_up = bits
+        reach = (i32(1) << (start_j * cols + start_i)).astype(i32)
         for _ in range(rows * cols):
             grown = reach
-            # right/down/left/up propagation through open edges
-            grown = grown | (
-                jnp.roll(reach & (edge[:, :, 0] > 0), 1, axis=1)
-                & (jnp.arange(cols)[None, :] > 0)
-            )
-            grown = grown | (
-                jnp.roll(reach & (edge[:, :, 1] > 0), 1, axis=0)
-                & (jnp.arange(rows)[:, None] > 0)
-            )
-            grown = grown | (
-                jnp.roll(reach & (edge[:, :, 2] > 0), -1, axis=1)
-                & (jnp.arange(cols)[None, :] < cols - 1)
-            )
-            grown = grown | (
-                jnp.roll(reach & (edge[:, :, 3] > 0), -1, axis=0)
-                & (jnp.arange(rows)[:, None] < rows - 1)
-            )
+            grown = grown | (((reach & e_right) & not_last_col) << 1)
+            grown = grown | (((reach & e_down) << cols) & full_mask)
+            grown = grown | (((reach & e_left) & not_first_col) >> 1)
+            grown = grown | ((reach & e_up) >> cols)
             reach = grown
         return reach
 
     def cond(carry):
         state, ctx, key, it = carry
-        return (~reachable(ctx.edge).all()) & (it < max_itrs)
+        return (reachable_bits(ctx.edge) != full_mask) & (it < max_itrs)
 
     def body(carry):
         state, ctx, key, it = carry
@@ -457,6 +477,9 @@ def add_distractors(
         do = top_g > -jnp.inf  # fewer valid cells than distractors: skip
         xs = (idx % w).astype(jnp.int32)
         ys = (idx // w).astype(jnp.int32)
+        # Multi-index writes unroll into scatter-free single-cell updates —
+        # batched dynamic scatters of EVERY dtype miscompile on the axon
+        # TPU backend at production batch sizes (ops/grid.py:cell_set).
         if all_unique:
             cg = jnp.where(
                 ctx.used.reshape(-1), -jnp.inf, jax.random.gumbel(k_combo, (18,))
@@ -464,33 +487,37 @@ def add_distractors(
             _, combos = jax.lax.top_k(cg, num_distractors)
             kinds = OBJ_KINDS[combos // 6]
             colors = (combos % 6).astype(jnp.int32)
-            ctx = ctx.replace(
-                used=ctx.used.reshape(-1).at[combos].set(True).reshape(3, 6)
-            )
+            used = ctx.used.reshape(-1)
+            for t in range(num_distractors):
+                used = G.elem_set(used, combos[t], True)
+            ctx = ctx.replace(used=used.reshape(3, 6))
         else:
             kk, kc = jax.random.split(k_combo)
             kinds = OBJ_KINDS[jax.random.randint(kk, (num_distractors,), 0, 3)]
             colors = jax.random.randint(kc, (num_distractors,), 0, 6)
-            ctx = ctx.replace(
-                used=ctx.used.at[
-                    jnp.argmax(
-                        OBJ_KINDS[None, :] == kinds[:, None], axis=1
-                    ),
-                    colors,
-                ].set(True)
+            kind_idx = jnp.argmax(OBJ_KINDS[None, :] == kinds[:, None], axis=1)
+            used = ctx.used
+            for t in range(num_distractors):
+                used = G.cell_set(used, kind_idx[t], colors[t], True)
+            ctx = ctx.replace(used=used)
+        grid_obj, grid_color = state.grid_obj, state.grid_color
+        for t in range(num_distractors):
+            # do=False slots write back the original cell value at (0, 0) —
+            # a wall corner no valid placement can target, so sequential
+            # updates reproduce the scatter exactly.
+            sy = jnp.where(do[t], ys[t], 0)
+            sx = jnp.where(do[t], xs[t], 0)
+            grid_obj = G.cell_set(
+                grid_obj, sy, sx,
+                jnp.where(do[t], kinds[t].astype(jnp.uint8), grid_obj[sy, sx]),
             )
-        sel_y = jnp.where(do, ys, 0)
-        sel_x = jnp.where(do, xs, 0)
-        keep_obj = state.grid_obj[sel_y, sel_x]
-        keep_col = state.grid_color[sel_y, sel_x]
-        state = state.replace(
-            grid_obj=state.grid_obj.at[sel_y, sel_x].set(
-                jnp.where(do, kinds.astype(jnp.uint8), keep_obj)
-            ),
-            grid_color=state.grid_color.at[sel_y, sel_x].set(
-                jnp.where(do, colors.astype(jnp.uint8), keep_col)
-            ),
-        )
+            grid_color = G.cell_set(
+                grid_color, sy, sx,
+                jnp.where(
+                    do[t], colors[t].astype(jnp.uint8), grid_color[sy, sx]
+                ),
+            )
+        state = state.replace(grid_obj=grid_obj, grid_color=grid_color)
         poss = jnp.stack([xs, ys], axis=1)
         return state, ctx, kinds.astype(jnp.int32), colors, poss
 

@@ -36,6 +36,7 @@ from minigrid_dynamicprogramming_tpu.core.constants import (
     STATE_OPEN,
 )
 from minigrid_dynamicprogramming_tpu.core.state import EnvParams, EnvState
+from minigrid_dynamicprogramming_tpu.ops import grid as G
 
 
 def success_reward(step_count: jnp.ndarray, max_steps: int) -> jnp.ndarray:
@@ -165,20 +166,31 @@ def base_step(params: EnvParams, state: EnvState, action: jnp.ndarray):
         jnp.where(do_drop, state.carrying_contains_color, fwd_contains_color),
     )
 
-    grid_obj = state.grid_obj.at[cy, cx].set(
-        jnp.where(in_bounds, cell_obj, state.grid_obj[cy, cx])
+    # cell_set_dense (one-hot where), NOT .at[].set: batched dynamic
+    # scatters miscompile on the axon TPU backend at large batch, and this
+    # runs inside the rollout scan where DUS lowers pathologically
+    # (ops/grid.py:cell_set).
+    grid_obj = G.cell_set_dense(
+        state.grid_obj, cy, cx,
+        jnp.where(in_bounds, cell_obj, state.grid_obj[cy, cx]),
     )
-    grid_color = state.grid_color.at[cy, cx].set(
-        jnp.where(in_bounds, cell_color, state.grid_color[cy, cx])
+    grid_color = G.cell_set_dense(
+        state.grid_color, cy, cx,
+        jnp.where(in_bounds, cell_color, state.grid_color[cy, cx]),
     )
-    grid_state = state.grid_state.at[cy, cx].set(
-        jnp.where(in_bounds, cell_state, state.grid_state[cy, cx])
+    grid_state = G.cell_set_dense(
+        state.grid_state, cy, cx,
+        jnp.where(in_bounds, cell_state, state.grid_state[cy, cx]),
     )
-    contains_obj = state.contains_obj.at[cy, cx].set(
-        jnp.where(in_bounds, cell_contains, state.contains_obj[cy, cx])
+    contains_obj = G.cell_set_dense(
+        state.contains_obj, cy, cx,
+        jnp.where(in_bounds, cell_contains, state.contains_obj[cy, cx]),
     )
-    contains_color = state.contains_color.at[cy, cx].set(
-        jnp.where(in_bounds, cell_contains_color, state.contains_color[cy, cx])
+    contains_color = G.cell_set_dense(
+        state.contains_color, cy, cx,
+        jnp.where(
+            in_bounds, cell_contains_color, state.contains_color[cy, cx]
+        ),
     )
 
     # --- identity-mark maintenance (BabyAI verifier object tracking) ---
@@ -192,8 +204,9 @@ def base_step(params: EnvParams, state: EnvState, action: jnp.ndarray):
         zero_m,
         jnp.where(do_drop, state.carrying_marks, fwd_marks),
     )
-    marks = state.marks.at[cy, cx].set(
-        jnp.where(in_bounds, cell_marks, state.marks[cy, cx])
+    marks = G.cell_set_dense(
+        state.marks, cy, cx,
+        jnp.where(in_bounds, cell_marks, state.marks[cy, cx]),
     )
     new_carrying_marks = jnp.where(
         do_pickup,

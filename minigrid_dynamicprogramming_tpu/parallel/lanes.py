@@ -795,6 +795,10 @@ def lane_rollout(
         skip += ("contains_obj", "contains_color")
     if env.params.opt("no_marks", False):
         skip += ("marks", "vmarks")
+    if env.params.opt("fixed_mission", False):
+        skip += ("mission",)
+    if env.params.opt("fixed_aux", False):
+        skip += ("aux",)
 
     def body(carry, key_t):
         ls, reset_count = carry

@@ -64,6 +64,42 @@ _BOX_FREE_FAMILIES = frozenset(
     }
 )
 
+# Families whose mission code vector is one per-id constant (the reference
+# mission string has no placeholders, e.g. DoorKey's "use the key to open
+# the door...") — the autoreset select skips the (MISSION_SLOTS, B) vector.
+# Guarded by tests/test_lanes.py::test_fixed_flags_hold.
+_FIXED_MISSION_FAMILIES = frozenset(
+    {
+        "empty",
+        "doorkey",
+        "fourrooms",
+        "crossing",
+        "distshift",
+        "lavagap",
+        "dynamicobstacles",
+        "multiroom",
+        "redbluedoors",
+        "memory",
+        "playground",
+    }
+)
+
+# Families that never write the aux scratch vector (no per-episode targets,
+# phases, or obstacle slots) — likewise skipped in the autoreset select.
+_FIXED_AUX_FAMILIES = frozenset(
+    {
+        "empty",
+        "doorkey",
+        "fourrooms",
+        "crossing",
+        "distshift",
+        "lavagap",
+        "multiroom",
+        "playground",
+        "lockedroom",
+    }
+)
+
 
 def _reg(env_id: str, factory, **kwargs) -> None:
     name = getattr(factory, "__name__", "misc")
@@ -75,6 +111,10 @@ def _reg(env_id: str, factory, **kwargs) -> None:
             flags = {"no_marks": True}
             if fam in _BOX_FREE_FAMILIES:
                 flags["no_boxes"] = True
+            if fam in _FIXED_MISSION_FAMILIES:
+                flags["fixed_mission"] = True
+            if fam in _FIXED_AUX_FAMILIES:
+                flags["fixed_aux"] = True
             env.params = env.params.with_extra(**flags)
         return env
 

@@ -59,12 +59,13 @@ def view_highlight_mask(params: EnvParams, state: EnvState) -> jnp.ndarray:
 
     inb = (wx >= 0) & (wx < params.width) & (wy >= 0) & (wy < params.height)
     ok = vis & inb
-    mask = jnp.zeros((params.height, params.width), dtype=bool)
-    # Scatter visible view cells into world coords; duplicate targets all
-    # write True so order is irrelevant.
-    return mask.at[
-        jnp.where(ok, wy, 0).ravel(), jnp.where(ok, wx, 0).ravel()
-    ].max(ok.ravel())
+    # One-hot OR of visible view cells into world coords — not a scatter
+    # (batched dynamic scatters miscompile on the axon TPU backend,
+    # ops/grid.py:cell_set).  V*V * H*W comparisons; rendering is cold.
+    ys = jnp.arange(params.height)[:, None, None]
+    xs = jnp.arange(params.width)[None, :, None]
+    hit = (ys == wy.ravel()) & (xs == wx.ravel()) & ok.ravel()
+    return hit.any(axis=-1)
 
 
 def render_frame(

@@ -140,7 +140,13 @@ class ActionBonus(Wrapper):
         core = core_state(inner)
         idx = (core.agent_pos[0], core.agent_pos[1], core.agent_dir, action)
         new_count = wstate.data[idx] + 1
-        counts = wstate.data.at[idx].set(new_count)
+        # dynamic_update_slice, not a scatter (axon TPU miscompile class,
+        # ops/grid.py:cell_set)
+        counts = jax.lax.dynamic_update_slice(
+            wstate.data,
+            new_count.reshape(1, 1, 1, 1),
+            (idx[0], idx[1], idx[2], jnp.asarray(action)),
+        )
         r = r + 1.0 / jnp.sqrt(new_count.astype(jnp.float32))
         return obs, WrapperState(inner=inner, data=counts), r, term, trunc, info
 
@@ -160,7 +166,9 @@ class PositionBonus(Wrapper):
         core = core_state(inner)
         idx = (core.agent_pos[0], core.agent_pos[1])
         new_count = wstate.data[idx] + 1
-        counts = wstate.data.at[idx].set(new_count)
+        counts = jax.lax.dynamic_update_slice(
+            wstate.data, new_count.reshape(1, 1), (idx[0], idx[1])
+        )
         r = r + 1.0 / jnp.sqrt(new_count.astype(jnp.float32))
         return obs, WrapperState(inner=inner, data=counts), r, term, trunc, info
 
@@ -232,7 +240,11 @@ class FullyObsWrapper(ObservationWrapper):
         agent = jnp.array(
             [OBJECT_TO_IDX["agent"], 0, 0], dtype=jnp.uint8
         ).at[2].set(core.agent_dir.astype(jnp.uint8))
-        img = img.at[core.agent_pos[0], core.agent_pos[1]].set(agent)
+        img = jax.lax.dynamic_update_slice(
+            img,
+            agent.reshape(1, 1, 3),
+            (core.agent_pos[0], core.agent_pos[1], jnp.asarray(0)),
+        )
         return {**obs, "image": img}
 
 

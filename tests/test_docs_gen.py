@@ -6,6 +6,8 @@ from __future__ import annotations
 import glob
 import os
 
+import pytest
+
 from minigrid_dynamicprogramming_tpu.docs_gen import gen_env_docs, gen_gifs
 from minigrid_dynamicprogramming_tpu.registry import family
 
@@ -17,9 +19,17 @@ def test_family_slugs():
 
 
 def test_gen_env_docs(tmp_path):
-    pages = gen_env_docs(str(tmp_path))
-    # one page per family, split into minigrid/ and babyai/ groups
-    assert len(pages) >= 40
+    # a representative subset by default (one generate-compile per page is
+    # the cost driver); the slow tier sweeps every family
+    pages = gen_env_docs(
+        str(tmp_path),
+        ids=[
+            "MiniGrid-DoorKey-8x8-v0",
+            "MiniGrid-Dynamic-Obstacles-8x8-v0",
+            "BabyAI-GoToRedBallGrey-v0",
+        ],
+    )
+    assert len(pages) == 3
     assert glob.glob(str(tmp_path / "environments" / "minigrid" / "*.md"))
     assert glob.glob(str(tmp_path / "environments" / "babyai" / "*.md"))
     dk = tmp_path / "environments" / "minigrid" / "doorkey.md"
@@ -27,6 +37,13 @@ def test_gen_env_docs(tmp_path):
     assert 'make("MiniGrid-DoorKey' in text
     assert "MiniGrid-DoorKey-16x16-v0" in text  # sibling list
     assert "Example mission:" in text
+
+
+@pytest.mark.slow
+def test_gen_env_docs_all_families(tmp_path):
+    pages = gen_env_docs(str(tmp_path))
+    # one page per family, split into minigrid/ and babyai/ groups
+    assert len(pages) >= 40
 
 
 def test_gen_gifs(tmp_path):

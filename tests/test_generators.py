@@ -65,6 +65,24 @@ def common_checks(env, state):
         cell = state.grid_obj[b, ay, ax]
         assert cell in (OBJ_EMPTY, OBJ_GOAL, 3), f"agent on {cell}"
         assert state.step_count[b] == 0
+    # Registry plane/constancy gates (registry._reg) must hold for every
+    # layout, or the lane fast path's skipped selects/writes would corrupt
+    # state after auto-reset.
+    p = env.params
+    if p.opt("no_marks", False):
+        assert not np.asarray(state.marks).any()
+        assert not np.asarray(state.vmarks).any()
+    if p.opt("no_boxes", False):
+        from minigrid_dynamicprogramming_tpu.core.constants import OBJ_BOX
+
+        assert not (np.asarray(state.grid_obj) == OBJ_BOX).any()
+        assert (np.asarray(state.contains_obj) == OBJ_EMPTY).all()
+    if p.opt("fixed_mission", False):
+        m = np.asarray(state.mission)
+        assert (m == m[0]).all(), "mission varies but fixed_mission is set"
+    if p.opt("fixed_aux", False):
+        a = np.asarray(state.aux)
+        assert (a == a[0]).all(), "aux varies but fixed_aux is set"
 
 
 @pytest.mark.parametrize("env_id", sorted(mgtpu.registered_ids()))

@@ -130,3 +130,13 @@ def test_kernel_timer_report():
     assert rep["step"]["calls"] == 5
     assert rep["step"]["seconds"] > 0
     assert rep["step"]["per_s"] > 0
+
+
+def test_device_audit():
+    """The integer-lowering probe battery (utils/device_audit.py) must pass
+    on the test backend (CPU); on the axon TPU it documents which scatter
+    lowerings are broken — run `benchmark --audit` there."""
+    from minigrid_dynamicprogramming_tpu.utils.device_audit import audit_device
+
+    rep = audit_device(batch=256)
+    assert rep["ok"], rep
