@@ -13,7 +13,7 @@ from minigrid_dynamicprogramming_tpu.parallel.lanes import lane_rollout
 fp = {}
 for eid in ("MiniGrid-DoorKey-8x8-v0", "MiniGrid-MultiRoom-N4-S5-v0", "BabyAI-GoTo-v0"):
     env = mgtpu.make(eid)
-    keys = jax.random.split(jax.random.PRNGKey(0), 2048)
+    keys = jax.random.split(jax.random.PRNGKey(0), 8192)
     st = jax.jit(jax.vmap(env.generate, in_axes=(0, None)), static_argnums=1)(keys, env.params)
     h, w = env.params.height, env.params.width
     wgt = (jnp.arange(h * w, dtype=jnp.int64 if False else jnp.int32) * 31 + 7).reshape(h, w)

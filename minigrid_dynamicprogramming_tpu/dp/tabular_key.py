@@ -124,10 +124,14 @@ def extract_key_layout(
     door_pos = jnp.stack(
         [jnp.where(slot_valid, dx, -1), jnp.where(slot_valid, dy, -1)], axis=-1
     )
+    # One-hot writes, not a dynamic scatter (int32 scatters miscompile on
+    # the axon TPU backend at batch >= 64k; ops/grid.py:cell_set).
     door_id = jnp.full((h * w,), -1, dtype=jnp.int32)
-    door_id = door_id.at[slots].set(
-        jnp.where(slot_valid, jnp.arange(max_doors, dtype=jnp.int32), -1)
-    ).reshape(h, w)
+    for i in range(max_doors):
+        door_id = jnp.where(
+            (flat == slots[i]) & slot_valid[i], jnp.int32(i), door_id
+        )
+    door_id = door_id.reshape(h, w)
     overflow = is_door & (door_id < 0)
     base_walk = base_walk & ~(overflow & (state.grid_state != STATE_OPEN))
 

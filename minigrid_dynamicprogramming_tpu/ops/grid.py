@@ -37,32 +37,34 @@ def cell_set(plane: jnp.ndarray, y, x, val) -> jnp.ndarray:
     backend at large batch — sub-32-bit dtypes from batch ~2k, and even
     int32 at batch 64k: bit-identical on CPU, silently wrong cells on
     device (probe battery: utils/device_audit.py; run `benchmark --audit`
-    after any backend upgrade).  The two correct lowerings there are
-    ``dynamic_update_slice`` and the one-hot ``where`` — and each is only
-    fast in one context: batched DUS is pathological inside the rollout
-    ``scan`` (~60x, huge compile), the one-hot where is pathological
-    inside the vmapped rejection ``while_loop``s of the generators (~5x).
-    Hence two variants:
+    after any backend upgrade).  Of the two lowerings the audit proves
+    correct — ``dynamic_update_slice`` and the one-hot ``where`` — the
+    one-hot is the right choice EVERYWHERE on the live backend: vmapped
+    DUS chains measured ~500x slower than the same writes as fused one-hot
+    select chains in the generators (DoorKey 256k-layout pool: 14.7 s vs
+    ~30 ms; the earlier note claiming DUS was the fast generation-side
+    variant was contaminated by XLA dead-code-eliminating the un-consumed
+    planes in the measurement).  The one-hot is pure elementwise
+    compare+select — the same class as the audit's oracle — so it cannot
+    hit the scatter bug by construction, and XLA fuses consecutive writes
+    into one pass over the plane.
 
-    * ``cell_set`` (this, DUS) — for GENERATION-side writes;
-    * ``cell_set_dense`` (one-hot) — for step/hook writes inside scans.
-
-    DUS clamps out-of-range starts; callers gate OOB writes with ``where``.
+    OOB indices write nothing (the reference's builders never write OOB;
+    callers gate conditional writes with ``where`` on the value).
     """
-    v = jnp.asarray(val, plane.dtype).reshape((1, 1))
-    return jax.lax.dynamic_update_slice(plane, v, (y, x))
+    return cell_set_dense(plane, y, x, val)
 
 
 def elem_set(arr: jnp.ndarray, i, val) -> jnp.ndarray:
     """``arr[i] = val`` (1-D), scatter-free: see :func:`cell_set`."""
-    v = jnp.asarray(val, arr.dtype).reshape((1,))
-    return jax.lax.dynamic_update_slice(arr, v, (i,))
+    hit = jnp.arange(arr.shape[0], dtype=jnp.int32) == i
+    return jnp.where(hit, jnp.asarray(val, arr.dtype), arr)
 
 
 def row_set(arr: jnp.ndarray, i, row) -> jnp.ndarray:
     """``arr[i, :] = row`` (2-D), scatter-free: see :func:`cell_set`."""
-    v = jnp.asarray(row, arr.dtype).reshape((1, -1))
-    return jax.lax.dynamic_update_slice(arr, v, (i, 0))
+    hit = jnp.arange(arr.shape[0], dtype=jnp.int32)[:, None] == i
+    return jnp.where(hit, jnp.asarray(row, arr.dtype)[None, :], arr)
 
 
 def cell_set_dense(plane: jnp.ndarray, y, x, val) -> jnp.ndarray:

@@ -143,10 +143,15 @@ def _neighbor(rows: int, cols: int, i, j, k):
 
 
 def _edge_set(edge, j, i, k, value):
-    # dynamic_update_slice, not a scatter (axon TPU miscompile class,
-    # ops/grid.py:cell_set)
-    v = jnp.asarray(value, edge.dtype).reshape(1, 1, 1)
-    return jax.lax.dynamic_update_slice(edge, v, (j, i, k))
+    # one-hot where, not a scatter/DUS (axon TPU miscompile class + vmapped
+    # DUS slowness, ops/grid.py:cell_set); edge is tiny (rows, cols, 4)
+    rows, cols, kk = edge.shape
+    hit = (
+        (jnp.arange(rows, dtype=jnp.int32)[:, None, None] == j)
+        & (jnp.arange(cols, dtype=jnp.int32)[None, :, None] == i)
+        & (jnp.arange(kk, dtype=jnp.int32)[None, None, :] == k)
+    )
+    return jnp.where(hit, jnp.asarray(value, edge.dtype), edge)
 
 
 def set_edge(ctx: RoomCtx, i, j, k, value) -> RoomCtx:

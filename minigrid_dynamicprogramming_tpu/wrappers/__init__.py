@@ -262,10 +262,11 @@ class SymbolicObsWrapper(ObservationWrapper):
         ).T  # [x, y]
         xs = jnp.broadcast_to(jnp.arange(w, dtype=jnp.int32)[:, None], (w, h))
         ys = jnp.broadcast_to(jnp.arange(h, dtype=jnp.int32)[None, :], (w, h))
+        # one-hot where, not a dynamic scatter (axon TPU miscompile class,
+        # ops/grid.py:cell_set)
+        at_agent = (xs == core.agent_pos[0]) & (ys == core.agent_pos[1])
+        objs = jnp.where(at_agent, OBJECT_TO_IDX["agent"], objs)
         img = jnp.stack([xs, ys, objs], axis=-1)
-        img = img.at[core.agent_pos[0], core.agent_pos[1], 2].set(
-            OBJECT_TO_IDX["agent"]
-        )
         return {**obs, "image": img}
 
 

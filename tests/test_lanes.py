@@ -206,3 +206,56 @@ def test_lane_rollout_hooked_env_runs():
     )
     assert int(res.steps) == 16 * 64
     assert int(res.obs_checksum) != 0
+
+
+# -- static plane-gate flags (registry._FIXED_*_FAMILIES) --------------------
+
+# One representative per flagged family; the flags let lane_rollout skip the
+# mission/aux lanes in the autoreset select, which is only sound if (a) the
+# vector is one per-id constant across layouts and (b) stepping never writes
+# it.  This test asserts both directly.
+_FIXED_FLAG_REPS = [
+    "MiniGrid-Empty-Random-6x6-v0",
+    "MiniGrid-DoorKey-6x6-v0",
+    "MiniGrid-FourRooms-v0",
+    "MiniGrid-SimpleCrossingS9N2-v0",
+    "MiniGrid-DistShift2-v0",
+    "MiniGrid-LavaGapS6-v0",
+    "MiniGrid-Dynamic-Obstacles-6x6-v0",
+    "MiniGrid-MultiRoom-N2-S4-v0",
+    "MiniGrid-RedBlueDoors-6x6-v0",
+    "MiniGrid-MemoryS11-v0",
+    "MiniGrid-Playground-v0",
+    "MiniGrid-LockedRoom-v0",
+]
+
+
+@pytest.mark.parametrize("env_id", _FIXED_FLAG_REPS)
+def test_fixed_flags_hold(env_id):
+    env = mgtpu.make(env_id)
+    fixed_mission = env.params.opt("fixed_mission", False)
+    fixed_aux = env.params.opt("fixed_aux", False)
+    if not (fixed_mission or fixed_aux):
+        pytest.skip("family has no fixed flags")
+
+    batch = 32
+    state = _batched_state(env, jax.random.PRNGKey(17), batch)
+    mission0 = np.asarray(state.mission)
+    aux0 = np.asarray(state.aux)
+    # (a) constant across independently generated layouts
+    if fixed_mission:
+        np.testing.assert_array_equal(mission0, mission0[:1], err_msg="mission")
+    if fixed_aux:
+        np.testing.assert_array_equal(aux0, aux0[:1], err_msg="aux")
+
+    # (b) invariant under stepping (incl. the family's hooks)
+    step = jax.jit(jax.vmap(env.step))
+    key = jax.random.PRNGKey(23)
+    for _ in range(20):
+        key, ka, ks = jax.random.split(key, 3)
+        acts = jax.random.randint(ka, (batch,), 0, env.action_dim)
+        _, state, *_ = step(jax.random.split(ks, batch), state, acts)
+    if fixed_mission:
+        np.testing.assert_array_equal(np.asarray(state.mission), mission0)
+    if fixed_aux:
+        np.testing.assert_array_equal(np.asarray(state.aux), aux0)
