@@ -129,7 +129,7 @@ def _attempt(key: jax.Array, n_max: int, min_sz: int, max_sz: int, num_rooms):
         found = ok.any()
         accept = in_chain & found
 
-        # row_set/elem_set (dynamic_update_slice), not dynamic scatters —
+        # row_set/elem_set (one-hot compare+select), not dynamic scatters —
         # those miscompile on the axon TPU backend at large batch
         # (ops/grid.py:cell_set).
         tops = G.row_set(

@@ -56,13 +56,19 @@ def cell_set(plane: jnp.ndarray, y, x, val) -> jnp.ndarray:
 
 
 def elem_set(arr: jnp.ndarray, i, val) -> jnp.ndarray:
-    """``arr[i] = val`` (1-D), scatter-free: see :func:`cell_set`."""
+    """``arr[i] = val`` (1-D), scatter-free: see :func:`cell_set`.
+
+    OOB indices write nothing (no clamping, unlike dynamic_update_slice).
+    """
     hit = jnp.arange(arr.shape[0], dtype=jnp.int32) == i
     return jnp.where(hit, jnp.asarray(val, arr.dtype), arr)
 
 
 def row_set(arr: jnp.ndarray, i, row) -> jnp.ndarray:
-    """``arr[i, :] = row`` (2-D), scatter-free: see :func:`cell_set`."""
+    """``arr[i, :] = row`` (2-D), scatter-free: see :func:`cell_set`.
+
+    OOB indices write nothing (no clamping, unlike dynamic_update_slice).
+    """
     hit = jnp.arange(arr.shape[0], dtype=jnp.int32)[:, None] == i
     return jnp.where(hit, jnp.asarray(row, arr.dtype)[None, :], arr)
 

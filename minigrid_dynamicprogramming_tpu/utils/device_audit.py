@@ -8,7 +8,9 @@ while int32 scatters, ``lax.dynamic_update_slice``, one-hot ``where``
 writes, and gathers all lower correctly.  That bug corrupted procedural
 generation (door/object writes) for every env family at production batch
 sizes until the framework switched its dynamic cell writes to
-``ops.grid.cell_set`` (dynamic_update_slice) and int32 scatters.
+``ops.grid.cell_set``-family one-hot compare+select writes (the oracle
+class below), which both dodge the miscompile and fuse ~500x better than
+batched dynamic_update_slice in vmapped contexts.
 
 ``audit_device`` re-runs the probe battery on the LIVE backend, comparing
 each suspect lowering against a pure-elementwise one-hot oracle evaluated

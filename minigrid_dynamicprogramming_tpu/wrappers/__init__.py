@@ -237,14 +237,17 @@ class FullyObsWrapper(ObservationWrapper):
         img = jnp.stack(
             [core.grid_obj.T, core.grid_color.T, core.grid_state.T], axis=-1
         )
+        # one-hot where over (W, H), not a batched dynamic_update_slice —
+        # DUS is the slow lowering in vmapped contexts and inconsistent
+        # with the one-hot-everywhere policy (ops/grid.py:cell_set).
+        w, h = img.shape[0], img.shape[1]
+        xs = jnp.arange(w, dtype=jnp.int32)[:, None]
+        ys = jnp.arange(h, dtype=jnp.int32)[None, :]
+        at_agent = ((xs == core.agent_pos[0]) & (ys == core.agent_pos[1]))[..., None]
         agent = jnp.array(
             [OBJECT_TO_IDX["agent"], 0, 0], dtype=jnp.uint8
         ).at[2].set(core.agent_dir.astype(jnp.uint8))
-        img = jax.lax.dynamic_update_slice(
-            img,
-            agent.reshape(1, 1, 3),
-            (core.agent_pos[0], core.agent_pos[1], jnp.asarray(0)),
-        )
+        img = jnp.where(at_agent, agent[None, None, :], img)
         return {**obs, "image": img}
 
 

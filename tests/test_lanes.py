@@ -244,9 +244,13 @@ def test_fixed_flags_hold(env_id):
     aux0 = np.asarray(state.aux)
     # (a) constant across independently generated layouts
     if fixed_mission:
-        np.testing.assert_array_equal(mission0, mission0[:1], err_msg="mission")
+        np.testing.assert_array_equal(
+            mission0, np.broadcast_to(mission0[:1], mission0.shape), err_msg="mission"
+        )
     if fixed_aux:
-        np.testing.assert_array_equal(aux0, aux0[:1], err_msg="aux")
+        np.testing.assert_array_equal(
+            aux0, np.broadcast_to(aux0[:1], aux0.shape), err_msg="aux"
+        )
 
     # (b) invariant under stepping (incl. the family's hooks)
     step = jax.jit(jax.vmap(env.step))
