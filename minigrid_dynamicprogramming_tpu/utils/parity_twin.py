@@ -597,11 +597,71 @@ def gen_dynamicobstacles(
     else:
         t.place_agent_rect()
     obstacles = []
+    obstacle_objs = []
     for _ in range(n_obstacles):
         ball = TwinObj("ball", "blue")
         t.place_obj(ball, max_tries=100)
         obstacles.append(ball.pos)
-    return TwinLayout(t, obstacles=obstacles)
+        obstacle_objs.append(ball)
+    # The live twin env (with its RNG mid-stream) and the ball records are
+    # kept so DynObsStepTwin can continue the reference's per-STEP draw
+    # stream (dynamicobstacles.py:141-158) from exactly where reset left it.
+    return TwinLayout(t, obstacles=obstacles, twin_env=t, obstacle_objs=obstacle_objs)
+
+
+class DynObsStepTwin:
+    """Host mirror of ``DynamicObstaclesEnv.step``'s RNG consumption.
+
+    The reference consumes ``np_random`` draws *inside* ``step`` — one
+    rejection-sampled ``place_obj(ball, top=old-(1,1), size=(3,3),
+    max_tries=100)`` per obstacle per step, with the old cell cleared only
+    after a successful placement and a fully-blocked neighborhood leaving
+    the ball in place via the swallowed exception
+    (/root/reference/minigrid/envs/dynamicobstacles.py:136-167).  This twin
+    replays those draws from the post-reset RNG state, so a fixed seed
+    defines the whole episode bit-exactly; the device step then runs with
+    the ball moves and the pre-move "front not clear" flag uploaded
+    (``Environment.pre_step`` disabled), making full-episode trajectory
+    parity assertable for the stochastic-transition family too.
+    """
+
+    def __init__(self, layout: TwinLayout):
+        self.t: TwinEnv = layout.extra["twin_env"]
+        self.obstacles: List[TwinObj] = layout.extra["obstacle_objs"]
+
+    def host_pre_step(self, action: int) -> Tuple[int, bool]:
+        """Mirror dynamicobstacles.py:136-158: remap invalid actions, snap
+        the pre-move front-cell flag, then move every obstacle.  Returns
+        ``(remapped_action, not_clear)``."""
+        if action >= 3:  # action_space.n == 3 (:104, :137-138)
+            action = 0
+        fx, fy = self.t.front_pos
+        front = self.t.get(fx, fy)
+        not_clear = front is not None and front.type != "goal"  # :140-141
+        for ball in self.obstacles:  # :143-156
+            old = ball.pos
+            top = (old[0] - 1, old[1] - 1)
+            try:
+                self.t.place_obj(ball, top=top, size=(3, 3), max_tries=100)
+                self.t.set(old[0], old[1], None)
+            except RecursionError:  # reference: except Exception: pass
+                pass
+        return action, not_clear
+
+    def mirror_agent_move(self, action: int) -> None:
+        """Keep the host agent pose in sync with the (deterministic) device
+        base transition (minigrid_env.py:536-553; only left/right/forward
+        reach it in this family)."""
+        t = self.t
+        if action == 0:
+            t.agent_dir = (t.agent_dir - 1) % 4
+        elif action == 1:
+            t.agent_dir = (t.agent_dir + 1) % 4
+        elif action == 2:
+            fx, fy = t.front_pos
+            fwd = t.get(fx, fy)
+            if fwd is None or fwd.type in ("goal", "floor", "lava"):
+                t.agent_pos = (fx, fy)
 
 
 # BabyAI levels live in utils/twin_babyai.py (full instruction-grammar twin).
@@ -671,12 +731,14 @@ def twin_layout(env_id: str, seed: int) -> TwinLayout:
     return TWIN_GENERATORS[env_id](seed)
 
 
-def twin_reset(env_id: str, seed: int, rng=None):
+def twin_reset(env_id: str, seed: int, rng=None, layout: Optional[TwinLayout] = None):
     """Seed-matched device reset: generate the layout with the parity twin
     and upload it as an :class:`EnvState` ready for the device step kernels.
 
     Returns ``(state, env)`` where ``env`` is the registered
-    :class:`Environment` for ``env_id``.
+    :class:`Environment` for ``env_id``.  Pass a precomputed ``layout`` to
+    keep a handle on the live twin (its RNG mid-stream) — needed by
+    :class:`DynObsStepTwin` to continue the per-step draw stream.
     """
     import jax
     import jax.numpy as jnp
@@ -688,7 +750,8 @@ def twin_reset(env_id: str, seed: int, rng=None):
         EnvState,
     )
 
-    layout = twin_layout(env_id, seed)
+    if layout is None:
+        layout = twin_layout(env_id, seed)
     env = mgtpu.make(env_id)
     h, w = layout.grid_obj.shape
     assert (w, h) == (env.params.width, env.params.height), env_id

@@ -188,3 +188,72 @@ def test_trajectory_parity_from_seed(env_id, seed, n_steps=150):
         if ref_term or ref_trunc:
             break
     ref_env.close()
+
+
+# Stochastic-TRANSITION family: the reference consumes np_random draws inside
+# ``step`` (one place_obj per obstacle per step, dynamicobstacles.py:141-158),
+# so full-episode parity needs the host step twin (DynObsStepTwin) to continue
+# the draw stream and upload each step's ball moves + pre-move collision flag.
+DYNOBS_IDS = sorted(i for i in twin_ids() if "Dynamic-Obstacles" in i)
+
+
+@pytest.mark.parametrize("env_id", DYNOBS_IDS)
+@pytest.mark.parametrize("seed", [0, 7, 23])
+def test_trajectory_parity_dynobs(env_id, seed, n_steps=120):
+    import copy
+
+    import jax.numpy as jnp
+
+    from minigrid_dynamicprogramming_tpu.envs.dynamicobstacles import (
+        NOT_CLEAR_SLOT,
+    )
+    from minigrid_dynamicprogramming_tpu.utils.parity_twin import DynObsStepTwin
+
+    ref_env, ref_obs = make_reference_env(env_id, seed)
+    layout = twin_layout(env_id, seed)
+    state, env = twin_reset(env_id, seed, layout=layout)
+    stwin = DynObsStepTwin(layout)
+
+    obs0 = jax.jit(env.observation)(state)
+    np.testing.assert_array_equal(
+        np.asarray(obs0["image"]), ref_obs["image"],
+        err_msg=f"{env_id} seed={seed} reset obs",
+    )
+
+    # Ball moves + collision flag are uploaded host-side each step; the
+    # device runs the rest of the transition (pre_step disabled).
+    env_nopre = copy.copy(env)
+    env_nopre.pre_step = None
+    step_fn = jax.jit(env_nopre.step)
+
+    rng = np.random.default_rng(seed + 1234)
+    acts = action_script(rng, n_steps)
+    key = jax.random.PRNGKey(0)
+    for t, a in enumerate(acts):
+        ref_obs, ref_r, ref_term, ref_trunc, _ = ref_env.step(int(a))
+        a2, not_clear = stwin.host_pre_step(int(a))
+        obj, color, st, _, _ = stwin.t.planes()
+        aux = np.asarray(state.aux).copy()
+        for k2, ball in enumerate(stwin.obstacles):
+            aux[2 * k2], aux[2 * k2 + 1] = ball.pos
+        aux[NOT_CLEAR_SLOT] = int(not_clear)
+        state = state.replace(
+            grid_obj=jnp.asarray(obj),
+            grid_color=jnp.asarray(color),
+            grid_state=jnp.asarray(st),
+            aux=jnp.asarray(aux),
+        )
+        key, k = jax.random.split(key)
+        obs, state, r, term, trunc, _ = step_fn(k, state, np.int32(a))
+        stwin.mirror_agent_move(a2)
+        msg = f"{env_id} seed={seed} t={t}"
+        np.testing.assert_array_equal(
+            np.asarray(obs["image"]), ref_obs["image"], msg
+        )
+        assert int(obs["direction"]) == int(ref_obs["direction"]), msg
+        np.testing.assert_allclose(float(r), float(ref_r), rtol=1e-6, err_msg=msg)
+        assert bool(term) == bool(ref_term), msg
+        assert bool(trunc) == bool(ref_trunc), msg
+        if ref_term or ref_trunc:
+            break
+    ref_env.close()
