@@ -130,6 +130,21 @@ class Environment:
             "mission": state.mission,
         }
 
+    def in_view(self, state: EnvState, x, y) -> jnp.ndarray:
+        """Whether world cell (x, y) is inside the agent's view rectangle
+        (``MiniGridEnv.in_view``, minigrid_env.py:495-500).  Jittable."""
+        from minigrid_dynamicprogramming_tpu.ops.obs import in_view
+
+        return in_view(self.params, state, x, y)
+
+    def agent_sees(self, state: EnvState, x, y) -> jnp.ndarray:
+        """Whether the non-empty world cell (x, y) is visible through the
+        encoded observation (``MiniGridEnv.agent_sees``,
+        minigrid_env.py:502-518).  Jittable."""
+        from minigrid_dynamicprogramming_tpu.ops.obs import agent_sees
+
+        return agent_sees(self.params, state, x, y)
+
     # -- host-side helpers ---------------------------------------------------
     def mission_text(self, mission_codes) -> str:
         """Decode a mission code vector to the reference's mission string."""

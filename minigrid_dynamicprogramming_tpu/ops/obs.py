@@ -28,6 +28,7 @@ from minigrid_dynamicprogramming_tpu.core.constants import (
     DIR_TO_VEC_ARR,
     OBJ_DOOR,
     OBJ_EMPTY,
+    OBJ_UNSEEN,
     OBJ_WALL,
     STATE_OPEN,
 )
@@ -151,3 +152,52 @@ def agent_view_visible_mask(params: EnvParams, state: EnvState) -> jnp.ndarray:
     """Visibility mask in ``[vx, vy]`` layout (reference orientation)."""
     _, _, _, vis = gen_obs_planes(params, state)
     return jnp.transpose(vis)
+
+
+def get_view_coords(params: EnvParams, state: EnvState, x, y):
+    """World grid coords -> agent-view coords ``(vx, vy)``; may be negative
+    or >= view (exact analog of ``MiniGridEnv.get_view_coords``,
+    /root/reference/minigrid/minigrid_env.py:421-446).  Jittable; ``x``/``y``
+    may be traced scalars or arrays."""
+    sz = params.agent_view_size
+    hs = sz // 2
+    d = DIR_TO_VEC_ARR[state.agent_dir]
+    rx, ry = -d[1], d[0]  # right_vec (minigrid_env.py:404-411)
+    tx = state.agent_pos[0] + d[0] * (sz - 1) - rx * hs
+    ty = state.agent_pos[1] + d[1] * (sz - 1) - ry * hs
+    lx = x - tx
+    ly = y - ty
+    vx = rx * lx + ry * ly
+    vy = -(d[0] * lx + d[1] * ly)
+    return vx, vy
+
+
+def in_view(params: EnvParams, state: EnvState, x, y) -> jnp.ndarray:
+    """Whether world cell ``(x, y)`` lies inside the agent's view rectangle
+    (``MiniGridEnv.in_view``/``relative_coords``, minigrid_env.py:481-500).
+    Note: view-rect membership only — occlusion is :func:`agent_sees`."""
+    vx, vy = get_view_coords(params, state, x, y)
+    sz = params.agent_view_size
+    return (vx >= 0) & (vy >= 0) & (vx < sz) & (vy < sz)
+
+
+def agent_sees(params: EnvParams, state: EnvState, x, y) -> jnp.ndarray:
+    """Whether the (non-empty) world cell ``(x, y)`` is visible to the agent
+    through the encoded observation — view-rect membership AND the occlusion
+    mask AND type agreement with the decoded obs cell, exactly as
+    ``MiniGridEnv.agent_sees`` computes it by decoding ``gen_obs()``
+    (minigrid_env.py:502-518).  The reference asserts the world cell is
+    non-None; here empty world cells simply return False (the decoded obs
+    cell for an empty type is None there)."""
+    vx, vy = get_view_coords(params, state, x, y)
+    sz = params.agent_view_size
+    inb = (vx >= 0) & (vy >= 0) & (vx < sz) & (vy < sz)
+    img = gen_obs_image(params, state)  # [vx, vy, 3], unseen encoded as 0
+    obs_type = img[jnp.clip(vx, 0, sz - 1), jnp.clip(vy, 0, sz - 1), 0]
+    world_type = state.grid_obj[
+        jnp.clip(y, 0, params.height - 1), jnp.clip(x, 0, params.width - 1)
+    ]
+    # Grid.decode returns None for "unseen"/"empty" (world_object.py:80-85);
+    # the reference then requires obs_cell.type == world_cell.type.
+    obs_nonempty = (obs_type != OBJ_UNSEEN) & (obs_type != OBJ_EMPTY)
+    return inb & obs_nonempty & (obs_type == world_type)
