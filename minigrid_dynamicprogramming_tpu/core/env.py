@@ -61,6 +61,7 @@ class Environment:
         post_step_lanes: Optional[PostStepFn] = None,
         generate_stats: Optional[Callable] = None,
         hook_rng: bool = True,
+        generate_batch: Optional[Callable] = None,
     ):
         self.env_id = env_id
         self.params = params
@@ -82,6 +83,15 @@ class Environment:
         # ``(key, params) -> (EnvState, GenStats)`` exposing the bounded
         # masked-rejection loop's acceptance outcome (utils/telemetry.py).
         self.generate_stats = generate_stats
+        # Optional pooled generator ``(key, params, n) -> EnvState[n]``.
+        # Semantically a faster ``vmap(generate)`` over n fresh keys: envs
+        # whose generate wraps a whole-episode rejection while_loop (the
+        # BabyAI regenerate-on-reject analog, roomgrid_level.py:118-139) pay
+        # the BATCH-MAX retry count per slot under vmap's lockstep; the
+        # pooled form oversamples iid attempts once and compacts the
+        # accepted ones (distribution-identical: accepted attempts are iid
+        # draws from the acceptance-conditioned law).
+        self.generate_batch = generate_batch
         # False when the hooks never consume their key argument (e.g. pure
         # reward overrides, the BabyAI verifier): step paths then skip the
         # per-env key split entirely — a measurable win at large batch.

@@ -346,94 +346,121 @@ def connect_all(
     exclude_color=None,
 ) -> Tuple[EnvState, RoomCtx]:
     """roomgrid.py:336-394 — repeatedly add random unlocked doors until every
-    room is reachable from the agent's start room.  Bounded ``while_loop``
-    with the same draw/skip structure."""
+    room is reachable from the agent's start room.
+
+    The reference's data-dependent retry loop is simulated in CLOSED FORM
+    instead of iterated: all ``max_itrs`` candidate draws (room, dir, color)
+    are iid and independent of loop state, and the accepted-edge set is a
+    pure function of the draw sequence — an edge joins the graph at its
+    first valid draw, and the loop stops at the first step t* where the
+    room graph is connected.  t* is the minimax-over-paths join time from
+    the start room (a Bellman sweep over the <=9-room graph), and the doors
+    actually added are exactly the first-occurrence draws with time <= t*.
+    Same law as the sequential loop draw-for-draw; zero sequential
+    iteration (a 16k-env vmapped while_loop ran to the batch-max ~250
+    iterations and dominated whole-generator cost for every connect_all
+    family, e.g. KeyCorridorS6R3 at 18 us/layout)."""
     rows, cols = ctx.locked.shape
     pitch = room_size - 1
     start_i = state.agent_pos[0] // pitch
     start_j = state.agent_pos[1] // pitch
-
-    # Room-graph flood fill on a per-env BITBOARD: room (j, i) is bit
-    # j*cols+i of one int32, so the whole fill is scalar bit ops.  (The
-    # previous form — batched rolls over the tiny (rows, cols) bool plane —
-    # additionally MISCOMPILED on the axon TPU backend at batch >= ~2k:
-    # bit-identical on CPU, wrong reach sets on device.  Scalar bitboards
-    # avoid tiny-minor-dim tiling entirely and are faster anyway.)
-    assert rows * cols <= 30, "room-graph bitboard packs into int32"
     i32 = jnp.int32
-    full_mask = i32((1 << (rows * cols)) - 1)
-    not_last_col = i32(
-        sum(1 << (j * cols + i) for j in range(rows) for i in range(cols - 1))
+    T = max_itrs
+    INF = i32(T + 1)
+
+    # All candidate draws at once (iid; same per-draw law as the loop body).
+    k_i, k_j, k_k, k_c = jax.random.split(key, 4)
+    di = jax.random.randint(k_i, (T,), 0, cols)
+    dj = jax.random.randint(k_j, (T,), 0, rows)
+    dk = jax.random.randint(k_k, (T,), 0, 4)
+    if exclude_color is None:
+        dcolor = jax.random.randint(k_c, (T,), 0, 6)
+    else:
+        # Uniform over colors != exclude_color (the reference's door_colors
+        # filter, roomgrid.py:336-361 / unlock.py:31-36).
+        logits = jnp.where(
+            jnp.arange(6) == jnp.asarray(exclude_color), -jnp.inf, 0.0
+        )
+        dcolor = jax.random.categorical(k_c, logits, shape=(T,)).astype(i32)
+
+    ni, nj = _neighbor(rows, cols, di, dj, dk)
+    flat4 = (dj * cols + di) * 4 + dk
+    valid = (
+        ctx.has_edge.reshape(-1)[flat4]
+        & (ctx.edge.reshape(-1)[flat4] == EDGE_NONE)
+        & (~ctx.locked.reshape(-1)[dj * cols + di])
+        & (~ctx.locked.reshape(-1)[nj * cols + ni])
     )
-    not_first_col = i32(
-        sum(1 << (j * cols + i) for j in range(rows) for i in range(1, cols))
-    )
+    # Canonical physical edge id: (row, col, right|down) of the owning room.
+    ci = jnp.where(dk == 2, di - 1, di)
+    cj = jnp.where(dk == 3, dj - 1, dj)
+    ck = jnp.where(dk < 2, dk, dk - 2)
 
-    def reachable_bits(edge):
-        bits = [jnp.zeros((), i32) for _ in range(4)]
-        for j in range(rows):
-            for i in range(cols):
-                b = i32(1 << (j * cols + i))
-                for k in range(4):
-                    bits[k] = bits[k] | jnp.where(edge[j, i, k] > 0, b, i32(0))
-        e_right, e_down, e_left, e_up = bits
-        reach = (i32(1) << (start_j * cols + start_i)).astype(i32)
-        for _ in range(rows * cols):
-            grown = reach
-            grown = grown | (((reach & e_right) & not_last_col) << 1)
-            grown = grown | (((reach & e_down) << cols) & full_mask)
-            grown = grown | (((reach & e_left) & not_first_col) >> 1)
-            grown = grown | ((reach & e_up) >> cols)
-            reach = grown
-        return reach
+    steps = jnp.arange(T, dtype=i32)
+    # Per physical edge: first valid draw time and that draw's color.
+    edges = [
+        (j, i, k)
+        for j in range(rows)
+        for i in range(cols)
+        for k in range(2)
+        if (k == 0 and i < cols - 1) or (k == 1 and j < rows - 1)
+    ]
+    time_e, color_e, init_e = [], [], []
+    for (j, i, k) in edges:
+        hit = valid & (ci == i) & (cj == j) & (ck == k)
+        t_first = jnp.min(jnp.where(hit, steps, INF))
+        first_idx = jnp.argmin(jnp.where(hit, steps, INF))
+        time_e.append(t_first)
+        color_e.append(dcolor[first_idx])
+        # Edges already open/doored before connect_all join at time -1.
+        init_e.append(ctx.edge[j, i, k] != EDGE_NONE)
 
-    def cond(carry):
-        state, ctx, key, it = carry
-        return (reachable_bits(ctx.edge) != full_mask) & (it < max_itrs)
+    # Minimax join time from the start room over the room graph
+    # (d[r] = earliest step at which r is connected to the start room).
+    join = [
+        jnp.where(init_e[e], i32(-1), time_e[e]) for e in range(len(edges))
+    ]
+    d = {
+        (j, i): jnp.where(
+            (i32(j) == start_j) & (i32(i) == start_i), i32(-1), INF
+        )
+        for j in range(rows)
+        for i in range(cols)
+    }
+    for _ in range(rows * cols):
+        for e, (j, i, k) in enumerate(edges):
+            a = (j, i)
+            b = (j, i + 1) if k == 0 else (j + 1, i)
+            d[a] = jnp.minimum(d[a], jnp.maximum(d[b], join[e]))
+            d[b] = jnp.minimum(d[b], jnp.maximum(d[a], join[e]))
+    t_star = d[(0, 0)]
+    for r in d.values():
+        t_star = jnp.maximum(t_star, r)
+    # Disconnected within the budget -> every draw executes (cap behavior).
+    t_eff = jnp.minimum(t_star, i32(T - 1))
 
-    def body(carry):
-        state, ctx, key, it = carry
-        key, k_i, k_j, k_k, k_c = jax.random.split(key, 5)
-        i = jax.random.randint(k_i, (), 0, cols)
-        j = jax.random.randint(k_j, (), 0, rows)
-        k = jax.random.randint(k_k, (), 0, 4)
-        ni, nj = _neighbor(rows, cols, i, j, k)
-        ok = (
-            ctx.has_edge[j, i, k]
-            & (ctx.edge[j, i, k] == EDGE_NONE)
-            & (~ctx.locked[j, i])
-            & (~ctx.locked[nj, ni])
+    # Doors added = first-occurrence valid draws at steps <= t_eff.
+    go, gc, gs = state.grid_obj, state.grid_color, state.grid_state
+    edge_arr = ctx.edge
+    for e, (j, i, k) in enumerate(edges):
+        accept = (~init_e[e]) & (time_e[e] <= t_eff)
+        # One-hot writes with x = y = -1 on reject => written nowhere
+        # (ops/grid.py:cell_set semantics).
+        x = jnp.where(accept, ctx.door_x[j, i, k], -1)
+        y = jnp.where(accept, ctx.door_y[j, i, k], -1)
+        go = G.cell_set(go, y, x, OBJ_DOOR)
+        gc = G.cell_set(gc, y, x, color_e[e])
+        gs = G.cell_set(gs, y, x, STATE_CLOSED)
+        new_edge = edge_arr.at[j, i, k].set(
+            jnp.where(accept, i32(EDGE_DOOR), edge_arr[j, i, k])
         )
-        if exclude_color is None:
-            color = jax.random.randint(k_c, (), 0, 6)
-        else:
-            # Uniform over colors != exclude_color (the reference's
-            # door_colors filter, roomgrid.py:336-361 / unlock.py:31-36).
-            logits = jnp.where(
-                jnp.arange(6) == jnp.asarray(exclude_color), -jnp.inf, 0.0
-            )
-            color = jax.random.categorical(k_c, logits).astype(jnp.int32)
-        new_state = G.put_obj(
-            state,
-            ctx.door_x[j, i, k],
-            ctx.door_y[j, i, k],
-            OBJ_DOOR,
-            color,
-            STATE_CLOSED,
+        bj, bi = (j, i + 1) if k == 0 else (j + 1, i)
+        bk = k + 2
+        edge_arr = new_edge.at[bj, bi, bk].set(
+            jnp.where(accept, i32(EDGE_DOOR), edge_arr[bj, bi, bk])
         )
-        new_ctx = set_edge(ctx, i, j, k, EDGE_DOOR)
-        state = jax.tree_util.tree_map(
-            lambda a, b: jnp.where(ok, a, b), new_state, state
-        )
-        ctx = jax.tree_util.tree_map(
-            lambda a, b: jnp.where(ok, a, b), new_ctx, ctx
-        )
-        return state, ctx, key, it + 1
-
-    state, ctx, _, _ = jax.lax.while_loop(
-        cond, body, (state, ctx, key, jnp.asarray(0, jnp.int32))
-    )
-    return state, ctx
+    state = state.replace(grid_obj=go, grid_color=gc, grid_state=gs)
+    return state, ctx.replace(edge=edge_arr)
 
 
 def add_distractors(

@@ -772,8 +772,16 @@ def lane_rollout(
     k_init, k_scan = jax.random.split(key)
 
     rounds = pool_rounds if autoreset == "pool" else 1
-    init_keys = jax.random.split(k_init, rounds * batch_size)
-    pool_b = jax.vmap(env.generate, in_axes=(0, None))(init_keys, env.params)
+    if env.generate_batch is not None:
+        # Oversample-and-compact pooled generation (core/env.py): avoids
+        # paying the batch-max whole-episode retry count that vmap's
+        # lockstep while_loop imposes on rejection-heavy generators.
+        pool_b = env.generate_batch(k_init, env.params, rounds * batch_size)
+    else:
+        init_keys = jax.random.split(k_init, rounds * batch_size)
+        pool_b = jax.vmap(env.generate, in_axes=(0, None))(
+            init_keys, env.params
+        )
     pool = jax.tree_util.tree_map(
         lambda x: x.reshape((rounds,) + (batch_size,) + x.shape[1:]),
         pool_b,
