@@ -46,25 +46,42 @@ WARMUP_ITERS = 1
 TIMED_ITERS = 3
 
 
-def _lane_steps_per_s(env_id, batch, horizon, warmup=1, iters=2, seed=0):
+def _lane_steps_per_s(
+    env_id, batch, horizon, warmup=1, iters=2, seed=0, rounds=None
+):
     env = mgtpu.make(env_id)
+    rounds = POOL_ROUNDS if rounds is None else rounds
     key = jax.random.PRNGKey(seed)
     for _ in range(warmup):
         key, k = jax.random.split(key)
-        res = lane_rollout(env, k, batch, horizon, "pool", POOL_ROUNDS)
+        res = lane_rollout(env, k, batch, horizon, "pool", rounds)
         int(res.obs_checksum)  # host materialization = real synchronization
     t0 = time.perf_counter()
     total = 0
     for _ in range(iters):
         key, k = jax.random.split(key)
-        res = lane_rollout(env, k, batch, horizon, "pool", POOL_ROUNDS)
+        res = lane_rollout(env, k, batch, horizon, "pool", rounds)
         int(res.obs_checksum)
         total += batch * horizon
     return total / (time.perf_counter() - t0)
 
 
+def _doorkey_states(batch, seed=11):
+    env = mgtpu.make("MiniGrid-DoorKey-8x8-v0")
+    keys = jax.random.split(jax.random.PRNGKey(seed), batch)
+    gen = jax.jit(jax.vmap(env.generate, in_axes=(0, None)), static_argnums=1)
+    return gen(keys, env.params)
+
+
+def _sync(x):
+    import numpy as _np
+
+    _np.asarray(jax.tree_util.tree_leaves(x)[0].ravel()[:1])
+
+
 def _vi_sweeps_per_s(batch=1024, n_sweeps=128):
-    """BASELINE.json's value-iteration sweeps/s metric (XLA backend)."""
+    """BASELINE.json's value-iteration sweeps/s metric (XLA backend,
+    restricted (door-config, carry, dir, y, x) domain)."""
     from functools import partial
 
     from minigrid_dynamicprogramming_tpu.dp.tabular import (
@@ -72,18 +89,123 @@ def _vi_sweeps_per_s(batch=1024, n_sweeps=128):
         value_iteration,
     )
 
-    env = mgtpu.make("MiniGrid-DoorKey-8x8-v0")
-    keys = jax.random.split(jax.random.PRNGKey(11), batch)
-    gen = jax.jit(jax.vmap(env.generate, in_axes=(0, None)), static_argnums=1)
-    states = gen(keys, env.params)
+    states = _doorkey_states(batch)
     layouts = jax.jit(jax.vmap(partial(extract_layout, max_doors=2)))(states)
     vi = jax.jit(jax.vmap(partial(value_iteration, gamma=0.995, n_sweeps=n_sweeps)))
     v, _ = vi(layouts)
-    jax.block_until_ready(v)
+    _sync(v)
     t0 = time.perf_counter()
     v, _ = vi(layouts)
-    jax.block_until_ready(v)
+    _sync(v)
     return batch * n_sweeps / (time.perf_counter() - t0)
+
+
+def _vi_restricted_pair(batch=1024, n_sweeps=128):
+    """XLA vs Pallas on identical restricted-domain layouts.
+
+    DoorKey-8x8 has exactly one door, so the natural domain is
+    ``max_doors=1`` (C = 6 configs); the legacy ``vi_sweeps_per_s`` metric
+    keeps its historical ``max_doors=2`` padding for cross-round
+    comparability, while this pair compares the two backends on the same
+    un-padded workload (the Pallas kernel's dense (C, C') toggle table
+    exceeds VMEM at the padded C = 18)."""
+    from functools import partial
+
+    from minigrid_dynamicprogramming_tpu.dp.pallas_vi import (
+        pallas_value_iteration,
+    )
+    from minigrid_dynamicprogramming_tpu.dp.tabular import (
+        extract_layout,
+        value_iteration,
+    )
+
+    states = _doorkey_states(batch)
+    layouts = jax.jit(jax.vmap(partial(extract_layout, max_doors=1)))(states)
+    out = {}
+    vi = jax.jit(
+        jax.vmap(partial(value_iteration, gamma=0.995, n_sweeps=n_sweeps))
+    )
+    _sync(vi(layouts)[0])
+    t0 = time.perf_counter()
+    _sync(vi(layouts)[0])
+    out["xla"] = batch * n_sweeps / (time.perf_counter() - t0)
+    v = pallas_value_iteration(layouts, gamma=0.995, n_sweeps=n_sweeps)
+    _sync(v)
+    t0 = time.perf_counter()
+    v = pallas_value_iteration(layouts, gamma=0.995, n_sweeps=n_sweeps)
+    _sync(v)
+    out["pallas"] = batch * n_sweeps / (time.perf_counter() - t0)
+    return out
+
+
+def _vi_key_sweeps_per_s(batch=512, n_sweeps=96, backend="xla"):
+    """Key-position-domain VI sweeps/s (state space (key-loc, door-config,
+    dir, y, x) — ~21x the restricted domain's states per layout), XLA vs
+    Pallas backends on identical layouts."""
+    from functools import partial
+
+    from minigrid_dynamicprogramming_tpu.dp.pallas_vi import (
+        pallas_key_value_iteration,
+    )
+    from minigrid_dynamicprogramming_tpu.dp.tabular_key import (
+        extract_key_layout,
+        key_value_iteration,
+    )
+
+    states = _doorkey_states(batch)
+    layouts = jax.jit(jax.vmap(partial(extract_key_layout, max_doors=1)))(
+        states
+    )
+    if backend == "xla":
+        vi = jax.jit(
+            jax.vmap(partial(key_value_iteration, gamma=0.995, n_sweeps=n_sweeps))
+        )
+        run = lambda: vi(layouts)[0]
+    else:
+        run = lambda: pallas_key_value_iteration(
+            layouts, gamma=0.995, n_sweeps=n_sweeps
+        )
+    _sync(run())
+    t0 = time.perf_counter()
+    _sync(run())
+    return batch * n_sweeps / (time.perf_counter() - t0)
+
+
+def _ppo_steps_per_s(num_envs=65536, rollout_len=32):
+    """BASELINE config 5 on hardware: BabyAI-GoToDoor, 64k pool-autoreset
+    envs feeding the PPO learner on a single-chip mesh.  Returns
+    (env-steps/s of the full update loop, rollout-phase seconds,
+    learner-phase seconds) — the phase split comes from timing a
+    zero-epoch update (rollout + GAE only) against the full update."""
+    from minigrid_dynamicprogramming_tpu.models.ppo import PPO, PPOConfig
+
+    env = mgtpu.make("BabyAI-GoToDoor-v0")
+
+    def timed(epochs):
+        cfg = PPOConfig(
+            num_envs=num_envs,
+            rollout_len=rollout_len,
+            epochs=epochs,
+            num_minibatches=8,
+        )
+        ppo = PPO(env, cfg)
+        ts = ppo.init(jax.random.PRNGKey(3))
+        ts, m = ppo.update(ts)
+        jax.block_until_ready(m.loss)
+        n = 2
+        t0 = time.perf_counter()
+        for _ in range(n):
+            ts, m = ppo.update(ts)
+            jax.block_until_ready(m.loss)
+        return (time.perf_counter() - t0) / n
+
+    full = timed(2)
+    try:
+        roll = timed(0)
+    except Exception:
+        roll = float("nan")
+    steps = num_envs * rollout_len
+    return steps / full, roll, max(full - roll, 0.0)
 
 
 def main() -> None:
@@ -97,19 +219,57 @@ def main() -> None:
     )
 
     extra = {}
-    # Hooked families on the same fast path (smaller batch to bound runtime;
-    # steps/s at these sizes is within ~10% of the 64k-batch number).
-    extra["babyai_gotolocal_steps_per_s"] = round(
-        _lane_steps_per_s("BabyAI-GoToLocal-v0", 16384, 256, seed=1), 1
-    )
-    extra["dynamicobstacles_8x8_steps_per_s"] = round(
-        _lane_steps_per_s("MiniGrid-Dynamic-Obstacles-8x8-v0", 16384, 256, seed=2),
-        1,
-    )
+    # Per-family sweep: one representative of every generation regime on
+    # the same honest fast path (pool autoreset with 2 pregenerated layout
+    # rounds INCLUDED in the timing, full obs encode every step,
+    # checksummed against DCE).  Smaller batch to bound runtime; steps/s
+    # at these sizes is within ~10% of the 64k-batch number.
+    fam = {
+        "babyai_gotolocal": ("BabyAI-GoToLocal-v0", 1),
+        "dynamicobstacles_8x8": ("MiniGrid-Dynamic-Obstacles-8x8-v0", 2),
+        "obstructedmaze_full_v1": ("MiniGrid-ObstructedMaze-Full-v1", 3),
+        "keycorridor_s6r3": ("MiniGrid-KeyCorridorS6R3-v0", 4),
+        "multiroom_n6": ("MiniGrid-MultiRoom-N6-v0", 5),
+        "memory_s17": ("MiniGrid-MemoryS17Random-v0", 6),
+        "babyai_bosslevel": ("BabyAI-BossLevel-v0", 7),
+        "fetch_8x8_n3": ("MiniGrid-Fetch-8x8-N3-v0", 8),
+    }
+    for name, (env_id, seed) in fam.items():
+        try:
+            extra[f"{name}_steps_per_s"] = round(
+                _lane_steps_per_s(
+                    env_id, 16384, 256, warmup=1, iters=2, seed=seed, rounds=2
+                ),
+                1,
+            )
+        except Exception as e:  # never let one family kill the headline
+            extra[f"{name}_steps_per_s"] = f"error: {type(e).__name__}"
+    for name, fn in (
+        ("vi_sweeps_per_s", _vi_sweeps_per_s),
+        ("vi_key_sweeps_per_s", lambda: _vi_key_sweeps_per_s(backend="xla")),
+        (
+            "vi_key_pallas_sweeps_per_s",
+            lambda: _vi_key_sweeps_per_s(backend="pallas"),
+        ),
+    ):
+        try:
+            extra[name] = round(fn(), 1)
+        except Exception as e:  # never let a side metric kill the headline
+            extra[name] = f"error: {type(e).__name__}"
     try:
-        extra["vi_sweeps_per_s"] = round(_vi_sweeps_per_s(), 1)
-    except Exception as e:  # never let the side metric kill the headline
-        extra["vi_sweeps_per_s"] = f"error: {type(e).__name__}"
+        pair = _vi_restricted_pair()
+        extra["vi_d1_xla_sweeps_per_s"] = round(pair["xla"], 1)
+        extra["vi_d1_pallas_sweeps_per_s"] = round(pair["pallas"], 1)
+    except Exception as e:
+        extra["vi_d1_pallas_sweeps_per_s"] = f"error: {type(e).__name__}"
+
+    try:
+        sps, t_roll, t_learn = _ppo_steps_per_s()
+        extra["ppo_steps_per_s"] = round(sps, 1)
+        extra["ppo_rollout_s"] = round(t_roll, 3)
+        extra["ppo_learner_s"] = round(t_learn, 3)
+    except Exception as e:
+        extra["ppo_steps_per_s"] = f"error: {type(e).__name__}"
 
     print(
         json.dumps(

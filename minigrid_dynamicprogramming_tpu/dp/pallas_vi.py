@@ -219,3 +219,250 @@ def pallas_value_iteration(
 
     v = jnp.moveaxis(v, -1, 0)[:B]  # (B, C, 4, HW)
     return v.reshape(B, C, 4, h, w)
+
+
+# ---------------------------------------------------------------------------
+# Key-position domain (dp/tabular_key.py) — VMEM-resident Pallas VI.
+#
+# V layout per layout-instance: (C, 4, K, L) with the H*W raster on the
+# 128-LANE axis (padded; P = 128 // HW layouts share one block when the
+# grid is small, e.g. two DoorKey-8x8 layouts per block) and the key-loc
+# axis K = H*W + 1 on sublanes.  Every transition is a lane roll, a slab
+# select, or a sublane-axis reduction:
+#
+#   forward -> lane roll by -(dy*W + dx); cross-layout wrap is masked by
+#              the border walls baked into the walk masks
+#   pickup  -> select the CARRIED sublane row where facing the key
+#   drop    -> key-loc jumps CARRIED -> front(cell): a diagonal gather,
+#              computed as (V * dropsel).sum(sublanes) with a precomputed
+#              one-hot (K, L) diagonal mask
+#   toggle  -> C-way config mix exactly like the restricted kernel
+#
+# Branch semantics mirror dp/tabular_key._backup term for term, so the
+# result equals key_value_iteration up to float associativity.
+# ---------------------------------------------------------------------------
+
+
+def _build_key_masks(layout, HW: int):
+    """Per-layout mask planes for the key-domain kernel, flattened to the
+    (..., HW) raster; the caller concatenates P layouts along the lane
+    axis.  All f32."""
+    from minigrid_dynamicprogramming_tpu.dp.tabular_key import (
+        KeyTabularLayout,
+        _DIRS as KDIRS,
+        _door_tables,
+        _front_index,
+        _shift_from,
+    )
+
+    h, w = layout.base_walk.shape
+    f32 = jnp.float32
+    K = HW + 1
+    CARRIED = HW
+
+    _, door_block, bitmask, locked_cell, closed_cell = _door_tables(layout)
+    C = door_block.shape[0]
+    unlock_cell = locked_cell & layout.door_unlockable[
+        jnp.clip(layout.door_id, 0, layout.n_doors - 1)
+    ][None]
+    kloc = jnp.arange(K, dtype=jnp.int32)
+
+    walk_n, goal_n, lava_n, keyfront, target_n, dropsel, droppable_n = (
+        [], [], [], [], [], [], [])
+    closed_n, unlock_n, tmask = [], [], []
+    ys = jnp.arange(h)[:, None]
+    xs = jnp.arange(w)[None, :]
+    target_cell = (xs == layout.target_pos[0]) & (ys == layout.target_pos[1])
+    cfg = jnp.arange(C, dtype=jnp.int32)
+    for dxy in KDIRS:
+        fidx = _front_index(h, w, dxy)  # (H, W), -1 OOB
+        base = layout.base_walk[None] & ~door_block  # (C, H, W)
+        walk_n.append(_shift_from(base.astype(f32), dxy).reshape(C, HW))
+        goal_n.append(_shift_from(layout.goal.astype(f32), dxy).reshape(HW))
+        lava_n.append(_shift_from(layout.lava.astype(f32), dxy).reshape(HW))
+        kf = (kloc[:, None] == fidx.reshape(-1)[None]) & (
+            fidx.reshape(-1) >= 0
+        )[None]
+        kf = kf.at[CARRIED].set(False)
+        keyfront.append(kf.astype(f32))  # (K, HW)
+        target_n.append(
+            _shift_from(target_cell.astype(jnp.int32), dxy)
+            .astype(f32).reshape(HW)
+        )
+        drp = (
+            _shift_from(layout.base_empty, dxy)
+            & (fidx >= 0)
+            & ~_shift_from(layout.door_id >= 0, dxy)
+        ).reshape(HW)  # (HW,)
+        droppable_n.append(drp.astype(f32))
+        dsel = (kloc[:, None] == fidx.reshape(-1)[None]) & drp[None]
+        dropsel.append(dsel.astype(f32))  # (K, HW)
+        closed_n.append(_shift_from(closed_cell, dxy).astype(f32).reshape(C, HW))
+        unlock_n.append(_shift_from(unlock_cell, dxy).astype(f32).reshape(C, HW))
+        bit_n = _shift_from(bitmask, dxy).reshape(HW)  # (HW,) int32
+        new_cfg = cfg[:, None] | bit_n[None]  # (C, HW)
+        tmask.append(
+            (new_cfg[:, None, :] == cfg[None, :, None]).astype(f32)
+        )  # (C, C', HW)
+
+    stack = lambda xs_: jnp.stack(xs_, 0)
+    return (
+        stack(walk_n),      # (4, C, HW)
+        stack(goal_n),      # (4, HW)
+        stack(lava_n),      # (4, HW)
+        stack(keyfront),    # (4, K, HW)
+        stack(target_n),    # (4, HW)
+        stack(droppable_n), # (4, HW)
+        stack(dropsel),     # (4, K, HW)
+        stack(closed_n),    # (4, C, HW)
+        stack(unlock_n),    # (4, C, HW)
+        stack(tmask),       # (4, C, C, HW)
+    )
+
+
+def _key_vi_kernel(
+    walk_ref, goal_ref, lava_ref, keyf_ref, targ_ref, drpn_ref, dsel_ref,
+    closed_ref, unlock_ref, tmask_ref,
+    vout_ref, v_s, v_n, *, C, K, W, HW, L, gamma, n_sweeps,
+):
+    CARRIED = HW  # sublane row of the carried-key slice
+    v_s[:] = jnp.zeros_like(v_s)
+    # Lane rolls are cyclic over the FULL packed lane width L (not HW —
+    # reducing the shift mod HW would land interior reads in the adjacent
+    # layout's segment); wrapped reads then only correspond to
+    # out-of-bounds fronts, which the border walls baked into the walk
+    # masks keep from ever being selected.
+    shifts = [(-(dy * W + dx)) % L for dx, dy in
+              ((1, 0), (0, 1), (-1, 0), (0, -1))]
+
+    def sweep(_, carry=None):
+        for c in range(C):
+            for d in range(4):
+                v_cd = v_s[c, d]  # (K, L)
+                row = jax.lax.broadcasted_iota(jnp.int32, (K, L), 0)
+                # left / right (Actions 0/1): static dir-slab picks.
+                q = jnp.maximum(v_s[c, (d - 1) % 4], v_s[c, (d + 1) % 4])
+                # forward (Action 2): lane roll + per-(k, cell) walk mask.
+                vn = pltpu.roll(v_cd, shifts[d], axis=1)
+                can = (walk_ref[0, d, c] > 0)[None] & ~(keyf_ref[0, d] > 0)
+                qf = jnp.where(can, vn, v_cd)
+                qf = jnp.where((lava_ref[0, d] > 0)[None], 0.0, qf)
+                q = jnp.maximum(q, qf)
+                # pickup (Action 3): facing the key -> CARRIED row.
+                v_car = v_cd[CARRIED][None]  # (1, L)
+                q = jnp.maximum(
+                    q, jnp.where(keyf_ref[0, d] > 0, v_car, v_cd)
+                )
+                # drop (Action 4): CARRIED row jumps to the front cell's
+                # key-loc row — diagonal gather via sublane reduction.
+                diag = jnp.sum(v_cd * dsel_ref[0, d], axis=0)  # (L,)
+                q_drop_car = jnp.where(
+                    drpn_ref[0, d] > 0, diag, v_cd[CARRIED]
+                )
+                q = jnp.maximum(
+                    q,
+                    jnp.where(row == CARRIED, q_drop_car[None], v_cd),
+                )
+                # toggle (Action 5): config mix where facing a door this
+                # state can open (closed always; locked iff key carried).
+                tv = tmask_ref[0, d, c, 0] * v_s[0, d]
+                for c2 in range(1, C):
+                    tv = tv + tmask_ref[0, d, c, c2] * v_s[c2, d]
+                allowed = (closed_ref[0, d, c] > 0)[None] | (
+                    (unlock_ref[0, d, c] > 0)[None] & (row == CARRIED)
+                )
+                q = jnp.maximum(q, jnp.where(allowed, tv, v_cd))
+                # stay (done / failed actions).
+                q = jnp.maximum(q, v_cd)
+                q = gamma * q
+                # terminal overrides (undiscounted 1.0; they dominate every
+                # discounted branch, so post-max application is exact —
+                # tabular_key._backup applies them per branch):
+                q = jnp.where((goal_ref[0, d] > 0)[None], 1.0, q)
+                q = jnp.where(
+                    (targ_ref[0, d] > 0)[None] & (row != CARRIED), 1.0, q
+                )
+                v_n[c, d] = q
+        v_s[:] = v_n[:]
+        return carry
+
+    jax.lax.fori_loop(0, n_sweeps, sweep, None)
+    vout_ref[0] = v_s[:]
+
+
+@partial(jax.jit, static_argnames=("gamma", "n_sweeps"))
+def pallas_key_value_iteration(layouts, gamma: float = 0.995, n_sweeps: int = 256):
+    """Batched key-domain VI on TPU via the VMEM-resident kernel.
+
+    ``layouts`` is a vmapped :class:`..tabular_key.KeyTabularLayout` with
+    leading batch axis B.  Returns V with shape (B, K, C, 4, H, W) matching
+    ``vmap(key_value_iteration)``'s V (up to float associativity).  The
+    policy, if needed, is one extra XLA argmax backup over this V."""
+    B = layouts.base_walk.shape[0]
+    h, w = layouts.base_walk.shape[1:]
+    HW = h * w
+    K = HW + 1
+    D = layouts.door_pos.shape[-2]
+    C = 1 << D
+    P = max(1, LANES // HW)  # layouts packed per block along lanes
+    L = P * HW
+
+    masks = jax.vmap(partial(_build_key_masks, HW=HW))(layouts)
+    padB = (-B) % P
+    if padB:
+        masks = [
+            jnp.concatenate([m, jnp.zeros((padB,) + m.shape[1:], m.dtype)])
+            for m in masks
+        ]
+    Bp = B + padB
+    G = Bp // P
+
+    # Group P layouts per block: (Bp, 4, ..., HW) -> (G, 4, ..., P * HW),
+    # keeping K/C axes intact and concatenating rasters along lanes.
+    def group(m):
+        m = m.reshape((G, P) + m.shape[1:])          # (G, P, 4, ..., HW)
+        m = jnp.moveaxis(m, 1, -2)                   # (G, 4, ..., P, HW)
+        return m.reshape(m.shape[:-2] + (L,))        # (G, 4, ..., L)
+
+    masks = [group(m) for m in masks]
+
+    # keyfront/dropsel carry a per-layout K axis whose CELL rows refer to
+    # that layout's own raster; rows are local to each layout, so the
+    # sublane axis stays K and the mask is zero outside the layout's lane
+    # segment by construction (fidx/kloc comparisons never cross segments).
+
+    grid = (G,)
+
+    def spec(shape):
+        nd = len(shape)
+        return pl.BlockSpec(
+            (1,) + shape,
+            lambda i: (i,) + (0,) * nd,
+            memory_space=pltpu.VMEM,
+        )
+
+    kernel = partial(
+        _key_vi_kernel, C=C, K=K, W=w, HW=HW, L=L, gamma=gamma,
+        n_sweeps=n_sweeps,
+    )
+    shapes = [
+        (4, C, L), (4, L), (4, L), (4, K, L), (4, L), (4, L), (4, K, L),
+        (4, C, L), (4, C, L), (4, C, C, L),
+    ]
+    v = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[spec(s) for s in shapes],
+        out_specs=spec((C, 4, K, L)),
+        out_shape=jax.ShapeDtypeStruct((G, C, 4, K, L), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((C, 4, K, L), jnp.float32),
+            pltpu.VMEM((C, 4, K, L), jnp.float32),
+        ],
+    )(*masks)
+
+    # (G, C, 4, K, L) -> (Bp, C, 4, K, HW) -> (B, K, C, 4, H, W)
+    v = v.reshape(G, C, 4, K, P, HW)
+    v = jnp.moveaxis(v, 4, 1).reshape(Bp, C, 4, K, HW)[:B]
+    v = jnp.moveaxis(v, 3, 1)  # (B, K, C, 4, HW)
+    return v.reshape(B, K, C, 4, h, w)

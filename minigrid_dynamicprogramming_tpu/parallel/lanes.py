@@ -744,7 +744,6 @@ def shard_lanes(ls: LaneState, mesh, extra_leading: int = 0) -> LaneState:
     return LaneState(**out)
 
 
-@partial(jax.jit, static_argnums=(0, 2, 3, 4, 5, 6))
 def lane_rollout(
     env: Environment,
     key: jax.Array,
@@ -767,10 +766,44 @@ def lane_rollout(
     The observation encoder runs every step and is folded into
     ``obs_checksum`` so the compiler cannot dead-code-eliminate it — the
     reported steps/s includes obs generation, like the reference's ``step``.
-    """
-    assert supports_lanes(env), env.env_id
-    k_init, k_scan = jax.random.split(key)
 
+    Generation and the scan compile as ONE program on purpose: splitting
+    them (pool as a cross-program input) or fencing them with
+    optimization_barrier both measured 8-11% BELOW the fused form on the
+    64k DoorKey headline on this backend, with no reliable win elsewhere.
+    """
+    k_init, k_scan = jax.random.split(key)
+    return _lane_run(
+        env, k_init, k_scan, batch_size, horizon, autoreset, pool_rounds, mesh
+    )
+
+
+@partial(jax.jit, static_argnums=(0, 3, 4, 5, 6, 7))
+def _lane_run(
+    env: Environment,
+    k_init: jax.Array,
+    k_scan: jax.Array,
+    batch_size: int,
+    horizon: int,
+    autoreset: str,
+    pool_rounds: int,
+    mesh=None,
+) -> LaneRolloutResult:
+    pool = _lane_pool(env, k_init, batch_size, autoreset, pool_rounds, mesh)
+    return _lane_scan(
+        env, k_scan, pool, batch_size, horizon, autoreset, pool_rounds, mesh
+    )
+
+
+def _lane_pool(
+    env: Environment,
+    k_init: jax.Array,
+    batch_size: int,
+    autoreset: str,
+    pool_rounds: int,
+    mesh=None,
+):
+    assert supports_lanes(env), env.env_id
     rounds = pool_rounds if autoreset == "pool" else 1
     if env.generate_batch is not None:
         # Oversample-and-compact pooled generation (core/env.py): avoids
@@ -792,6 +825,20 @@ def lane_rollout(
         # fully parallel with zero cross-device communication (envs are
         # independent) and collectives appear only in the final reductions.
         pool = shard_lanes(pool, mesh, extra_leading=1)
+    return pool
+
+
+def _lane_scan(
+    env: Environment,
+    k_scan: jax.Array,
+    pool,
+    batch_size: int,
+    horizon: int,
+    autoreset: str,
+    pool_rounds: int,
+    mesh=None,
+) -> LaneRolloutResult:
+    rounds = pool_rounds if autoreset == "pool" else 1
     init_ls = jax.tree_util.tree_map(lambda x: x[0], pool)
 
     hooked = (

@@ -46,6 +46,20 @@ BABYAI_ENVS = [
     if i.startswith("BabyAI-") and i not in BROKEN_BONUS_ENVS
 ]
 
+# The six heaviest levels (deep LevelGen missions: 23-44 s each, dominated
+# by generator compile + long bot plans) run in the slow tier; the default
+# tier still proves the bot on the other ~82 levels including a Synth and a
+# GoToSeq representative.
+HEAVY_BOT_ENVS = {
+    "BabyAI-BossLevel-v0",
+    "BabyAI-BossLevelNoUnlock-v0",
+    "BabyAI-SynthSeq-v0",
+    "BabyAI-MiniBossLevel-v0",
+    "BabyAI-SynthLoc-v0",
+    "BabyAI-SynthS5R2-v0",
+}
+FAST_BOT_ENVS = [i for i in BABYAI_ENVS if i not in HEAVY_BOT_ENVS]
+
 MAX_STEPS = 240
 MAX_SEEDS = 8
 SOLVE_SEEDS = 20
@@ -75,7 +89,7 @@ def run_bot_episode(env, reset_fn, step_fn, seed: int) -> bool:
     return False
 
 
-@pytest.mark.parametrize("env_id", BABYAI_ENVS)
+@pytest.mark.parametrize("env_id", FAST_BOT_ENVS)
 def test_bot_solves_level(env_id):
     env = mgtpu.make(env_id)
     reset_fn = jax.jit(env.reset)
@@ -87,6 +101,12 @@ def test_bot_solves_level(env_id):
         except _BOT_EXCEPTIONS:
             continue  # this seed confused the bot; the rate test measures how often
     pytest.fail(f"bot failed to solve {env_id} within {MAX_SEEDS} seeds")
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("env_id", sorted(HEAVY_BOT_ENVS))
+def test_bot_solves_heavy_level(env_id):
+    test_bot_solves_level(env_id)
 
 
 @pytest.mark.slow

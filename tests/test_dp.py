@@ -177,3 +177,38 @@ def test_unreachable_goal_has_zero_value():
     goal = np.asarray(layout2.goal)
     reachable_cells = walk & ~goal
     assert (v2_np[..., reachable_cells] == 0).all()
+
+
+def test_pallas_key_vi_matches_xla():
+    """The key-position-domain Pallas kernel matches key_value_iteration
+    (interpret mode off-TPU).  DoorKey-8x8 packs two layouts per 128-lane
+    block, so B = 3 also exercises the padded partial block."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from minigrid_dynamicprogramming_tpu.dp.pallas_vi import (
+        pallas_key_value_iteration,
+    )
+    from minigrid_dynamicprogramming_tpu.dp.tabular_key import (
+        extract_key_layout,
+        key_value_iteration,
+    )
+
+    env = mgtpu.make("MiniGrid-DoorKey-8x8-v0")
+    B = 3
+    keys = jax.random.split(jax.random.PRNGKey(2), B)
+    _, states = jax.jit(jax.vmap(env.reset))(keys)
+    layouts = jax.jit(jax.vmap(partial(extract_key_layout, max_doors=1)))(
+        states
+    )
+    v_ref, _ = jax.jit(
+        jax.vmap(partial(key_value_iteration, gamma=GAMMA, n_sweeps=48))
+    )(layouts)
+    on_tpu = jax.devices()[0].platform not in ("cpu",)
+    if on_tpu:
+        v_pl = pallas_key_value_iteration(layouts, gamma=GAMMA, n_sweeps=48)
+    else:
+        with pltpu.force_tpu_interpret_mode():
+            v_pl = pallas_key_value_iteration(layouts, gamma=GAMMA, n_sweeps=48)
+    np.testing.assert_allclose(
+        np.asarray(v_pl), np.asarray(v_ref), atol=1e-6
+    )

@@ -44,14 +44,32 @@ GAMMA = 0.995
 SWEEPS = 80
 
 
+def _clone(u):
+    """Cheap expansion clone of an unwrapped reference env: the immutable
+    machinery (spaces, np_random, mission space) is shared shallowly and
+    only the mutable episode state — grid, carried object, and the target
+    ``obj`` — is deepcopied, under ONE memo so the ``carrying == self.obj``
+    identity check in the step override keeps working on the clone.
+    ``gen_obs`` is stubbed out: observations don't affect the transition
+    and were ~40% of the naive deepcopy-everything BFS's cost."""
+    new_u = object.__new__(type(u))
+    new_u.__dict__ = dict(u.__dict__)
+    new_u.grid, new_u.carrying, new_u.obj = deepcopy(
+        (u.grid, u.carrying, u.obj)
+    )
+    new_u.gen_obs = lambda: None
+    return new_u
+
+
 def bfs_optimal_steps(ref_env, max_depth=70):
-    frontier = [deepcopy(ref_env)]
+    u0 = ref_env.unwrapped
+    frontier = [_clone(u0)]
     seen = {_ref_key(ref_env)}
     for depth in range(1, max_depth + 1):
         nxt = []
         for env in frontier:
             for a in ALL_ACTIONS:
-                child = deepcopy(env)
+                child = _clone(env)
                 _, r, term, trunc, _ = child.step(a)
                 if term and r > 0:
                     return depth

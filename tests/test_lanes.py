@@ -137,7 +137,11 @@ HOOKED_ENVS = [
     "BabyAI-OpenTwoDoors-v0",
     "BabyAI-PutNextLocal-v0",
     "BabyAI-ActionObjDoor-v0",
-    "BabyAI-SynthSeq-v0",
+    # seq-combinator coverage: GoToSeq traces the before/after machinery at
+    # a fraction of SynthSeq's compile cost; SynthSeq itself (the heaviest
+    # instruction profile, ~160 s mostly compile) runs in the slow tier via
+    # test_hooked_step_parity_all_ids.
+    "BabyAI-GoToSeqS5R2-v0",
 ]
 
 

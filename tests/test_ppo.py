@@ -62,6 +62,7 @@ def test_ppo_on_babyai_mission_obs():
     assert np.isfinite(float(m.loss))
 
 
+@pytest.mark.slow
 def test_ppo_pool_autoreset_matches_regen_shapes():
     """Pool mode (the production default) must produce identically-shaped
     train states and metrics to regen mode, with the pool cycling fresh

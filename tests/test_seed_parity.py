@@ -28,7 +28,7 @@ from minigrid_dynamicprogramming_tpu.utils.parity_twin import (
 
 from .oracle import action_script, make_reference_env
 
-FAST_SEEDS = list(range(12))
+FAST_SEEDS = list(range(6))
 SLOW_SEEDS = list(range(200))
 
 
