@@ -171,9 +171,11 @@ def _vi_key_sweeps_per_s(batch=512, n_sweeps=96, backend="xla"):
     return batch * n_sweeps / (time.perf_counter() - t0)
 
 
-def _ppo_steps_per_s(num_envs=65536, rollout_len=32):
-    """BASELINE config 5 on hardware: BabyAI-GoToDoor, 64k pool-autoreset
-    envs feeding the PPO learner on a single-chip mesh.  Returns
+def _ppo_steps_per_s(num_envs=32768, rollout_len=32):
+    """BASELINE config 5 on hardware: BabyAI-GoToDoor pool-autoreset envs
+    feeding the PPO learner on a single-chip mesh.  Config 5 specifies 64k
+    envs sharded over 2+ hosts, i.e. <= 32k per chip — 32k is the faithful
+    single-chip share (64k on one chip OOMs the rollout buffer).  Returns
     (env-steps/s of the full update loop, rollout-phase seconds,
     learner-phase seconds) — the phase split comes from timing a
     zero-epoch update (rollout + GAE only) against the full update."""
