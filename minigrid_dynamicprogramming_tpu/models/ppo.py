@@ -195,7 +195,14 @@ class PPO:
         obj, color, st, vis = L.obs_lanes(p, ls)
         visu = vis.astype(jnp.uint8)
         img = jnp.stack([obj * visu, color * visu, st * visu], axis=-1)
-        image = jnp.transpose(img, (1, 0, 2)).reshape(-1, v, v, 3)
+        # Lane cells are indexed vy*v + vx; the wire format (gen_obs_image,
+        # reference minigrid_env.py:629-645) is (x, y)-leading — swap the
+        # spatial axes after the batch transpose.
+        image = (
+            jnp.transpose(img, (1, 0, 2))
+            .reshape(-1, v, v, 3)
+            .transpose(0, 2, 1, 3)
+        )
         return {
             "image": image,
             "direction": ls.agent_dir,

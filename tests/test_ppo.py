@@ -103,3 +103,26 @@ def test_ppo_pool_autoreset_matches_regen_shapes():
     for _ in range(7):
         ts, m = ppos["pool"].update(ts)
     assert int(np.asarray(ts.reset_count).max()) > 0
+
+
+def test_lane_collector_obs_matches_env_observation():
+    """The lane collector's model-input obs must be bit-identical to
+    env.observation on the same states (the wire format, incl. the (x, y)
+    spatial axis order of gen_obs_image — a transposed image silently
+    degrades learning)."""
+    import numpy as np
+
+    from minigrid_dynamicprogramming_tpu.parallel import lanes as L
+
+    for env_id in ("MiniGrid-Empty-5x5-v0", "BabyAI-GoToDoor-v0"):
+        env = mgtpu.make(env_id)
+        ppo = PPO(env, PPOConfig(num_envs=8, rollout_len=4))
+        st = jax.vmap(env.generate, in_axes=(0, None))(
+            jax.random.split(jax.random.PRNGKey(0), 8), env.params
+        )
+        ref = jax.vmap(env.observation)(st)
+        mine = ppo._obs_from_lanes(L.to_lanes(st))
+        for k in ref:
+            np.testing.assert_array_equal(
+                np.asarray(ref[k]), np.asarray(mine[k]), err_msg=f"{env_id} {k}"
+            )
