@@ -178,12 +178,18 @@ def _ppo_steps_per_s(num_envs=32768, rollout_len=32):
     single-chip share (64k on one chip OOMs the rollout buffer).  Returns
     (env-steps/s of the full update loop, rollout-phase seconds,
     learner-phase seconds) — the phase split comes from timing a
-    zero-epoch update (rollout + GAE only) against the full update."""
+    zero-epoch update (rollout + GAE only) against the full update.
+
+    Warmup is TWO calls, not one: the first call compiles; the second
+    recompiles because the update's output array shardings differ from
+    ``init``'s, and jit keys its cache on input shardings.  Timing from
+    call 3 measures steady state (rounds 1-4 timed from call 2 and so
+    reported the recompile, understating HEAD by >10x)."""
     from minigrid_dynamicprogramming_tpu.models.ppo import PPO, PPOConfig
 
     env = mgtpu.make("BabyAI-GoToDoor-v0")
 
-    def timed(epochs):
+    def timed(epochs, n=5):
         cfg = PPOConfig(
             num_envs=num_envs,
             rollout_len=rollout_len,
@@ -192,9 +198,9 @@ def _ppo_steps_per_s(num_envs=32768, rollout_len=32):
         )
         ppo = PPO(env, cfg)
         ts = ppo.init(jax.random.PRNGKey(3))
-        ts, m = ppo.update(ts)
-        jax.block_until_ready(m.loss)
-        n = 2
+        for _ in range(2):  # compile + post-init sharding recompile
+            ts, m = ppo.update(ts)
+            jax.block_until_ready(m.loss)
         t0 = time.perf_counter()
         for _ in range(n):
             ts, m = ppo.update(ts)
@@ -246,8 +252,12 @@ def main() -> None:
             )
         except Exception as e:  # never let one family kill the headline
             extra[f"{name}_steps_per_s"] = f"error: {type(e).__name__}"
+    # vi_sweeps_per_s (the padded max_doors=2 legacy domain) is retired per
+    # VERDICT r4 weak #5: renamed with an explicit _legacy_padded suffix for
+    # one round of overlap; the honest per-domain metrics are the
+    # vi_d1_* / vi_key_* / vi_obstructed_* pairs below.
     for name, fn in (
-        ("vi_sweeps_per_s", _vi_sweeps_per_s),
+        ("vi_sweeps_per_s_legacy_padded", _vi_sweeps_per_s),
         ("vi_key_sweeps_per_s", lambda: _vi_key_sweeps_per_s(backend="xla")),
         (
             "vi_key_pallas_sweeps_per_s",
@@ -272,6 +282,28 @@ def main() -> None:
         extra["ppo_learner_s"] = round(t_learn, 3)
     except Exception as e:
         extra["ppo_steps_per_s"] = f"error: {type(e).__name__}"
+
+    # Attribution (VERDICT r4 weak #1: a stale capture must be
+    # distinguishable from a regression): stamp the measured revision.
+    import datetime
+    import subprocess
+
+    try:
+        extra["git_rev"] = (
+            subprocess.run(
+                ["git", "rev-parse", "HEAD"],
+                cwd="/root/repo",
+                capture_output=True,
+                text=True,
+                timeout=10,
+            ).stdout.strip()
+            or "unknown"
+        )
+    except Exception:
+        extra["git_rev"] = "unknown"
+    extra["timestamp_utc"] = datetime.datetime.now(
+        datetime.timezone.utc
+    ).isoformat(timespec="seconds")
 
     print(
         json.dumps(

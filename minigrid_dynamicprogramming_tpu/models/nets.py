@@ -5,8 +5,10 @@ exist because the framework's north star includes feeding sharded env
 batches to a learner (BASELINE.json config 5).  They are TPU-shaped:
 
 * the symbolic (view, view, 3) uint8 image is embedded per-plane
-  (object/color/state ids -> learned vectors) instead of one-hot matmuls,
-  keeping the input pipeline integer-only until the first conv;
+  (object/color/state ids -> learned vectors) via one-hot bf16 matmuls
+  (:class:`OneHotEmbed`) — gather-based ``nn.Embed`` lookups measured
+  ~2.8 ms each per rollout step at 32k envs (and scatter-add backward in
+  the learner), while the one-hot contraction rides the MXU;
 * convolutions and matmuls run in bfloat16 (params stay f32) so they tile
   onto the MXU;
 * the BabyAI mission is consumed directly as the 48-int instruction code
@@ -26,6 +28,31 @@ from minigrid_dynamicprogramming_tpu.core.constants import NUM_ACTIONS
 from minigrid_dynamicprogramming_tpu.core.state import MISSION_SLOTS
 
 
+class OneHotEmbed(nn.Module):
+    """Embedding lookup as a one-hot matmul.
+
+    ``nn.Embed`` lowers to a row gather (and scatter-add on the backward
+    pass) — measured at ~2.8 ms per 1.6M-row lookup inside the PPO rollout
+    scan on one chip, 4 such lookups per step.  For the tiny vocabularies
+    here (<= 64 ids) a one-hot bf16 matmul rides the MXU instead and its
+    backward is another matmul; same parameters, same math.
+    """
+
+    vocab: int
+    features: int
+    compute_dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, ids: jnp.ndarray) -> jnp.ndarray:
+        table = self.param(
+            "embedding",
+            nn.initializers.variance_scaling(1.0, "fan_in", "normal", out_axis=0),
+            (self.vocab, self.features),
+        )
+        oh = jax.nn.one_hot(ids, self.vocab, dtype=self.compute_dtype)
+        return oh @ table.astype(self.compute_dtype)
+
+
 class ObsEncoder(nn.Module):
     """Encode {image, direction, mission} into one feature vector."""
 
@@ -41,8 +68,8 @@ class ObsEncoder(nn.Module):
         # Per-plane learned embeddings, concatenated channelwise.
         planes = []
         for c, vocab in enumerate((16, 8, 4)):  # obj / color / state ids
-            emb = nn.Embed(
-                vocab, self.embed_dim, dtype=self.compute_dtype,
+            emb = OneHotEmbed(
+                vocab, self.embed_dim, compute_dtype=self.compute_dtype,
                 name=f"plane_embed_{c}",
             )
             planes.append(emb(jnp.clip(img[..., c], 0, vocab - 1)))
@@ -58,14 +85,15 @@ class ObsEncoder(nn.Module):
                 x = nn.max_pool(x, (2, 2), strides=(2, 2))
         x = x.reshape(*x.shape[:-3], -1)  # flatten spatial
 
-        d = nn.Embed(4, 16, dtype=self.compute_dtype, name="dir_embed")(
-            obs["direction"].astype(jnp.int32)
-        )
+        d = OneHotEmbed(
+            4, 16, compute_dtype=self.compute_dtype, name="dir_embed"
+        )(obs["direction"].astype(jnp.int32))
 
         # Mission embedding-bag: position-tagged code embeddings, summed.
         codes = obs["mission"].astype(jnp.int32)  # (..., MISSION_SLOTS)
-        tok = nn.Embed(
-            self.mission_vocab, 32, dtype=self.compute_dtype, name="code_embed"
+        tok = OneHotEmbed(
+            self.mission_vocab, 32, compute_dtype=self.compute_dtype,
+            name="code_embed",
         )(jnp.clip(codes, 0, self.mission_vocab - 1))
         pos = self.param(
             "code_pos",
