@@ -125,7 +125,20 @@ class ActionBonus(Wrapper):
     """+1/sqrt(N(s, a)) exploration bonus keyed on
     (agent_pos, agent_dir, action), matching wrappers.py:70-125.  The
     reference's dict of counts becomes a dense (W, H, 4, n_actions) int32
-    table carried in :class:`WrapperState`."""
+    table carried in :class:`WrapperState`.
+
+    Example (first visit of a (state, action) pair earns bonus 1/sqrt(1)):
+
+        >>> import jax, jax.numpy as jnp
+        >>> import minigrid_dynamicprogramming_tpu as mgtpu
+        >>> from minigrid_dynamicprogramming_tpu.wrappers import ActionBonus
+        >>> env = ActionBonus(mgtpu.make("MiniGrid-Empty-5x5-v0"))
+        >>> obs, state = env.reset(jax.random.PRNGKey(0))
+        >>> obs, state, r, term, trunc, _ = env.step(
+        ...     jax.random.PRNGKey(1), state, jnp.int32(2))
+        >>> float(r)
+        1.0
+    """
 
     def reset(self, key):
         obs, state = self.env.reset(key)
@@ -153,7 +166,20 @@ class ActionBonus(Wrapper):
 
 class PositionBonus(Wrapper):
     """+1/sqrt(N(pos)) exploration bonus keyed on the post-step agent
-    position (wrappers.py:128-187)."""
+    position (wrappers.py:128-187).
+
+    Example:
+
+        >>> import jax, jax.numpy as jnp
+        >>> import minigrid_dynamicprogramming_tpu as mgtpu
+        >>> from minigrid_dynamicprogramming_tpu.wrappers import PositionBonus
+        >>> env = PositionBonus(mgtpu.make("MiniGrid-Empty-5x5-v0"))
+        >>> obs, state = env.reset(jax.random.PRNGKey(0))
+        >>> obs, state, r, term, trunc, _ = env.step(
+        ...     jax.random.PRNGKey(1), state, jnp.int32(0))
+        >>> float(r)  # turning in place still visits the position once
+        1.0
+    """
 
     def reset(self, key):
         obs, state = self.env.reset(key)
@@ -179,7 +205,18 @@ class PositionBonus(Wrapper):
 
 
 class ImgObsWrapper(ObservationWrapper):
-    """Image-only observation (wrappers.py:190-217)."""
+    """Image-only observation (wrappers.py:190-217).
+
+    Example:
+
+        >>> import jax
+        >>> import minigrid_dynamicprogramming_tpu as mgtpu
+        >>> from minigrid_dynamicprogramming_tpu.wrappers import ImgObsWrapper
+        >>> env = ImgObsWrapper(mgtpu.make("MiniGrid-Empty-5x5-v0"))
+        >>> obs, state = env.reset(jax.random.PRNGKey(0))
+        >>> obs.shape
+        (7, 7, 3)
+    """
 
     def observation(self, obs, state):
         return obs["image"]
@@ -187,7 +224,19 @@ class ImgObsWrapper(ObservationWrapper):
 
 class OneHotPartialObsWrapper(ObservationWrapper):
     """(v, v, 3) symbolic image -> (v, v, 20) one-hot of type/color/state
-    (wrappers.py:220-287)."""
+    (wrappers.py:220-287).
+
+    Example:
+
+        >>> import jax
+        >>> import minigrid_dynamicprogramming_tpu as mgtpu
+        >>> from minigrid_dynamicprogramming_tpu.wrappers import (
+        ...     OneHotPartialObsWrapper)
+        >>> env = OneHotPartialObsWrapper(mgtpu.make("MiniGrid-Empty-5x5-v0"))
+        >>> obs, state = env.reset(jax.random.PRNGKey(0))
+        >>> obs["image"].shape
+        (7, 7, 20)
+    """
 
     N_TYPE, N_COLOR, N_STATE = 11, 6, 3
 
@@ -201,7 +250,18 @@ class OneHotPartialObsWrapper(ObservationWrapper):
 
 class RGBImgObsWrapper(ObservationWrapper):
     """Full-grid RGB frame as the image obs (wrappers.py:290-334).  Rendering
-    is a device-side tile-LUT gather, so this stays inside jit/vmap."""
+    is a device-side tile-LUT gather, so this stays inside jit/vmap.
+
+    Example (5x5 grid at 8px tiles -> 40x40 RGB):
+
+        >>> import jax
+        >>> import minigrid_dynamicprogramming_tpu as mgtpu
+        >>> from minigrid_dynamicprogramming_tpu.wrappers import RGBImgObsWrapper
+        >>> env = RGBImgObsWrapper(mgtpu.make("MiniGrid-Empty-5x5-v0"))
+        >>> obs, state = env.reset(jax.random.PRNGKey(0))
+        >>> obs["image"].shape
+        (40, 40, 3)
+    """
 
     def __init__(self, env, tile_size: int = 8, highlight: bool = True):
         super().__init__(env)
@@ -217,7 +277,19 @@ class RGBImgObsWrapper(ObservationWrapper):
 
 
 class RGBImgPartialObsWrapper(ObservationWrapper):
-    """Agent-POV RGB frame as the image obs (wrappers.py:337-381)."""
+    """Agent-POV RGB frame as the image obs (wrappers.py:337-381).
+
+    Example (7x7 view at 8px tiles -> 56x56 RGB):
+
+        >>> import jax
+        >>> import minigrid_dynamicprogramming_tpu as mgtpu
+        >>> from minigrid_dynamicprogramming_tpu.wrappers import (
+        ...     RGBImgPartialObsWrapper)
+        >>> env = RGBImgPartialObsWrapper(mgtpu.make("MiniGrid-Empty-5x5-v0"))
+        >>> obs, state = env.reset(jax.random.PRNGKey(0))
+        >>> obs["image"].shape
+        (56, 56, 3)
+    """
 
     def __init__(self, env, tile_size: int = 8):
         super().__init__(env)
@@ -230,7 +302,20 @@ class RGBImgPartialObsWrapper(ObservationWrapper):
 
 class FullyObsWrapper(ObservationWrapper):
     """Full symbolic (W, H, 3) grid with the agent cell encoded as
-    (agent=10, red=0, dir) (wrappers.py:384-423)."""
+    (agent=10, red=0, dir) (wrappers.py:384-423).
+
+    Example:
+
+        >>> import jax
+        >>> import minigrid_dynamicprogramming_tpu as mgtpu
+        >>> from minigrid_dynamicprogramming_tpu.wrappers import FullyObsWrapper
+        >>> env = FullyObsWrapper(mgtpu.make("MiniGrid-Empty-5x5-v0"))
+        >>> obs, state = env.reset(jax.random.PRNGKey(0))
+        >>> obs["image"].shape
+        (5, 5, 3)
+        >>> int((obs["image"][..., 0] == 10).sum())  # exactly one agent cell
+        1
+    """
 
     def observation(self, obs, state):
         core = core_state(state)
@@ -254,7 +339,21 @@ class FullyObsWrapper(ObservationWrapper):
 class SymbolicObsWrapper(ObservationWrapper):
     """Full grid of (x, y, obj_idx) triples, empty cells -1, agent cell 10
     (wrappers.py:726-772).  Emitted as int32 (the reference emits platform
-    int); values are identical."""
+    int); values are identical.
+
+    Example:
+
+        >>> import jax
+        >>> import minigrid_dynamicprogramming_tpu as mgtpu
+        >>> from minigrid_dynamicprogramming_tpu.wrappers import (
+        ...     SymbolicObsWrapper)
+        >>> env = SymbolicObsWrapper(mgtpu.make("MiniGrid-Empty-5x5-v0"))
+        >>> obs, state = env.reset(jax.random.PRNGKey(0))
+        >>> obs["image"].shape
+        (5, 5, 3)
+        >>> int((obs["image"][..., 2] == 10).sum())  # the agent cell
+        1
+    """
 
     def observation(self, obs, state):
         core = core_state(state)
@@ -275,7 +374,19 @@ class SymbolicObsWrapper(ObservationWrapper):
 
 class ViewSizeWrapper(ObservationWrapper):
     """Re-renders the symbolic partial obs at a different view size
-    (wrappers.py:626-670)."""
+    (wrappers.py:626-670).
+
+    Example:
+
+        >>> import jax
+        >>> import minigrid_dynamicprogramming_tpu as mgtpu
+        >>> from minigrid_dynamicprogramming_tpu.wrappers import ViewSizeWrapper
+        >>> env = ViewSizeWrapper(
+        ...     mgtpu.make("MiniGrid-Empty-5x5-v0"), agent_view_size=5)
+        >>> obs, state = env.reset(jax.random.PRNGKey(0))
+        >>> obs["image"].shape
+        (5, 5, 3)
+    """
 
     def __init__(self, env, agent_view_size: int = 7):
         super().__init__(env)
@@ -295,7 +406,20 @@ class DirectionObsWrapper(ObservationWrapper):
     and differenced against (agent_x, agent_y) crosswise).  The reference
     caches the goal across *all* resets of the wrapper object; here it is
     derived from the episode's own grid, which is identical for every
-    registered env (static goals)."""
+    registered env (static goals).
+
+    Example:
+
+        >>> import jax
+        >>> import minigrid_dynamicprogramming_tpu as mgtpu
+        >>> from minigrid_dynamicprogramming_tpu.wrappers import (
+        ...     DirectionObsWrapper)
+        >>> env = DirectionObsWrapper(
+        ...     mgtpu.make("MiniGrid-Empty-5x5-v0"), type="slope")
+        >>> obs, state = env.reset(jax.random.PRNGKey(0))
+        >>> "goal_direction" in obs
+        True
+    """
 
     def __init__(self, env, type: str = "slope"):
         super().__init__(env)
@@ -346,7 +470,22 @@ class DictObservationSpaceWrapper(ObservationWrapper):
     HOST-SIDE: mission strings exist only host-side (device obs carry the
     mission *code* vector, which is already fully numerical — the TPU-native
     answer to this wrapper).  Use outside jit, or use ``obs['mission']``
-    codes directly on device."""
+    codes directly on device.
+
+    Example ("get to the green goal square" over the 50-word vocabulary,
+    1-offset, zero-padded to ``max_words_in_mission``):
+
+        >>> import jax
+        >>> import minigrid_dynamicprogramming_tpu as mgtpu
+        >>> from minigrid_dynamicprogramming_tpu.wrappers import (
+        ...     DictObservationSpaceWrapper)
+        >>> env = DictObservationSpaceWrapper(mgtpu.make("MiniGrid-Empty-5x5-v0"))
+        >>> obs, state = env.reset(jax.random.PRNGKey(0))
+        >>> len(obs["mission"])
+        50
+        >>> obs["mission"][:6]
+        [20, 38, 31, 2, 15, 35]
+    """
 
     def __init__(self, env, max_words_in_mission: int = 50, word_dict=None):
         super().__init__(env)
@@ -392,7 +531,18 @@ class FlatObsWrapper(ObservationWrapper):
 
     For envs with a fixed mission (most of the suite) the mission one-hot is
     precomputed at construction and the transform is fully device-side; for
-    per-episode missions pass ``mission=None`` and apply host-side."""
+    per-episode missions pass ``mission=None`` and apply host-side.
+
+    Example (7*7*3 image + 96*28 chars = 2835 floats):
+
+        >>> import jax
+        >>> import minigrid_dynamicprogramming_tpu as mgtpu
+        >>> from minigrid_dynamicprogramming_tpu.wrappers import FlatObsWrapper
+        >>> env = FlatObsWrapper(mgtpu.make("MiniGrid-Empty-5x5-v0"))
+        >>> obs, state = env.reset(jax.random.PRNGKey(0))
+        >>> obs.shape
+        (2835,)
+    """
 
     def __init__(self, env, max_str_len: int = 96, mission: Optional[str] = "auto"):
         super().__init__(env)
@@ -433,7 +583,23 @@ class StochasticActionWrapper(Wrapper):
     """With probability ``1 - prob`` the intended action is replaced by
     ``random_action`` (or a uniform draw over actions 0..5, matching the
     reference's ``integers(0, high=6)``, wrappers.py:775-796).  Randomness
-    comes from the step key instead of global numpy state."""
+    comes from the step key instead of global numpy state.
+
+    Example (``prob=1.0`` never substitutes, so it behaves like the bare
+    env):
+
+        >>> import jax, jax.numpy as jnp
+        >>> import minigrid_dynamicprogramming_tpu as mgtpu
+        >>> from minigrid_dynamicprogramming_tpu.wrappers import (
+        ...     StochasticActionWrapper)
+        >>> env = StochasticActionWrapper(
+        ...     mgtpu.make("MiniGrid-Empty-5x5-v0"), prob=1.0)
+        >>> obs, state = env.reset(jax.random.PRNGKey(0))
+        >>> obs, state, r, term, trunc, _ = env.step(
+        ...     jax.random.PRNGKey(1), state, jnp.int32(0))
+        >>> bool(term)
+        False
+    """
 
     def __init__(self, env, prob: float = 0.9, random_action: Optional[int] = None):
         super().__init__(env)
@@ -455,7 +621,28 @@ class StochasticActionWrapper(Wrapper):
 class NoDeath(Wrapper):
     """Deaths on the given cell types become ``death_cost`` reward without
     termination (wrappers.py:799-872): checks the pre-step front cell (the
-    Dynamic-Obstacles pre-move snapshot) and the post-step current cell."""
+    Dynamic-Obstacles pre-move snapshot) and the post-step current cell.
+
+    Example: with seed 12 of LavaCrossingS9N1 the first forward step walks
+    into lava — a terminal death on the bare env, a ``death_cost`` penalty
+    without termination under the wrapper:
+
+        >>> import jax, jax.numpy as jnp
+        >>> import minigrid_dynamicprogramming_tpu as mgtpu
+        >>> from minigrid_dynamicprogramming_tpu.wrappers import NoDeath
+        >>> bare = mgtpu.make("MiniGrid-LavaCrossingS9N1-v0")
+        >>> obs, state = bare.reset(jax.random.PRNGKey(12))
+        >>> _, _, r, term, _, _ = bare.step(
+        ...     jax.random.PRNGKey(1), state, jnp.int32(2))
+        >>> float(r), bool(term)
+        (0.0, True)
+        >>> env = NoDeath(bare, no_death_types=("lava",), death_cost=-1.0)
+        >>> obs, state = env.reset(jax.random.PRNGKey(12))
+        >>> _, _, r, term, _, _ = env.step(
+        ...     jax.random.PRNGKey(1), state, jnp.int32(2))
+        >>> float(r), bool(term)
+        (-1.0, False)
+    """
 
     def __init__(
         self,
@@ -509,7 +696,21 @@ def _replace_core(state, new_core):
 class ReseedWrapper(Wrapper):
     """Cycles a fixed list of seeds on reset (wrappers.py:17-67).  Host-side
     stateful like the reference (the seed cursor lives on the wrapper
-    object); for batched use pass explicit per-env keys instead."""
+    object); for batched use pass explicit per-env keys instead.
+
+    Example (two seeds cycle, so resets 1 and 3 are identical):
+
+        >>> import jax
+        >>> import minigrid_dynamicprogramming_tpu as mgtpu
+        >>> from minigrid_dynamicprogramming_tpu.wrappers import ReseedWrapper
+        >>> env = ReseedWrapper(
+        ...     mgtpu.make("MiniGrid-Empty-8x8-v0"), seeds=[7, 9])
+        >>> o1, s1 = env.reset()
+        >>> o2, s2 = env.reset()
+        >>> o3, s3 = env.reset()
+        >>> bool((o1["image"] == o3["image"]).all())
+        True
+    """
 
     def __init__(self, env, seeds: Sequence[int] = (0,), seed_idx: int = 0):
         super().__init__(env)
