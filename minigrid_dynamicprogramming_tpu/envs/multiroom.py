@@ -159,6 +159,120 @@ def _attempt(key: jax.Array, n_max: int, min_sz: int, max_sz: int, num_rooms):
     return tops, sizes, entries, count
 
 
+def _attempt_lanes(key: jax.Array, M: int, n_max: int, min_sz: int,
+                   max_sz: int, num_rooms: jax.Array):
+    """Flat-batch lane-major ``_attempt``: M attempts at once with the batch
+    on the TRAILING axis, all candidate arrays shaped (T, M).
+
+    The vmapped ``_attempt`` produces (M, T=8) intermediates whose trailing
+    dim tiles onto 8 of 128 TPU lanes (16x bandwidth waste, ~11 ms per room
+    iteration at M=147k measured); batch-last arrays tile fully.  The room
+    loop is unrolled (n_max <= 6) so every row index is static, and
+    first-accept picks use one-hot sums instead of gathers.  Per-draw law
+    is identical to ``_attempt`` (iid candidate draws, first-accept);
+    the chi-square distribution tests in tests/test_generate_batch.py are
+    the guard."""
+    i32 = jnp.int32
+    T = TRIES_PER_ROOM
+    k0, k_entry, k_loop = jax.random.split(key, 3)
+    ex = jax.random.randint(k_entry, (2, M), 0, SIZE - 2)
+    s0 = jax.random.randint(k0, (2, M), min_sz, max_sz + 1)
+    ok0 = (ex[0] + s0[0] <= SIZE) & (ex[1] + s0[1] < SIZE)
+
+    zero_m = jnp.zeros((M,), i32)
+    tops = [[zero_m, zero_m] for _ in range(n_max)]
+    sizes = [[zero_m, zero_m] for _ in range(n_max)]
+    entries = [[zero_m, zero_m] for _ in range(n_max)]
+    tops[0] = [ex[0], ex[1]]
+    sizes[0] = [s0[0], s0[1]]
+    entries[0] = [ex[0], ex[1]]
+    count = ok0.astype(i32)
+    entry_wall = jnp.full((M,), 2, i32)
+    alive = ok0
+    tsteps = jnp.arange(T, dtype=i32)[:, None]  # (T, 1)
+
+    room_keys = jax.random.split(k_loop, n_max - 1)
+    for idx in range(1, n_max):
+        in_chain = alive & (idx < num_rooms)
+        px, py = tops[idx - 1]
+        psx, psy = sizes[idx - 1]
+
+        kw, kpx, kpy, ks, kox, koy = jax.random.split(room_keys[idx - 1], 6)
+        r = jax.random.randint(kw, (T, M), 0, 3)
+        exit_wall = (entry_wall[None, :] + 1 + r) % 4
+        rx = jax.random.randint(kpx, (T, M), 1, jnp.maximum(psx - 1, 2)[None, :])
+        ry = jax.random.randint(kpy, (T, M), 1, jnp.maximum(psy - 1, 2)[None, :])
+        exit_x = jnp.select(
+            [exit_wall == 0, exit_wall == 1, exit_wall == 2, exit_wall == 3],
+            [jnp.broadcast_to(px + psx - 1, (T, M)),
+             px[None, :] + rx,
+             jnp.broadcast_to(px, (T, M)),
+             px[None, :] + rx],
+        )
+        exit_y = jnp.select(
+            [exit_wall == 0, exit_wall == 1, exit_wall == 2, exit_wall == 3],
+            [py[None, :] + ry,
+             jnp.broadcast_to(py + psy - 1, (T, M)),
+             py[None, :] + ry,
+             jnp.broadcast_to(py, (T, M))],
+        )
+        next_entry_wall = (exit_wall + 2) % 4
+
+        sz = jax.random.randint(ks, (2, T, M), min_sz, max_sz + 1)
+        szx, szy = sz[0], sz[1]
+        ox = jax.random.randint(kox, (T, M), exit_x - szx + 2, exit_x)
+        oy = jax.random.randint(koy, (T, M), exit_y - szy + 2, exit_y)
+        top_x = jnp.select(
+            [next_entry_wall == 0, next_entry_wall == 1,
+             next_entry_wall == 2, next_entry_wall == 3],
+            [exit_x - szx + 1, ox, exit_x, ox],
+        )
+        top_y = jnp.select(
+            [next_entry_wall == 0, next_entry_wall == 1,
+             next_entry_wall == 2, next_entry_wall == 3],
+            [oy, exit_y - szy + 1, oy, exit_y],
+        )
+
+        ok = (top_x >= 0) & (top_y >= 0)
+        ok &= (top_x + szx <= SIZE) & (top_y + szy < SIZE)
+        # Non-overlap vs accepted rooms except the previous
+        # (multiroom.py: roomList[:-1]), unrolled over static room slots.
+        for prev in range(n_max):
+            pa = prev < (count - 1)  # (M,)
+            qx, qy = tops[prev]
+            qsx, qsy = sizes[prev]
+            disjoint = (
+                (top_x + szx < qx[None, :])
+                | ((qx + qsx)[None, :] <= top_x)
+                | (top_y + szy < qy[None, :])
+                | ((qy + qsy)[None, :] <= top_y)
+            )
+            ok &= (~pa[None, :]) | disjoint
+
+        found = ok.any(axis=0)
+        # First valid candidate via one-hot (gather-free): first index where
+        # ok, as argmax over the T axis.
+        first = jnp.argmax(ok, axis=0)[None, :]  # (1, M)
+        onehot = tsteps == first  # (T, M)
+        pick = lambda a: jnp.sum(jnp.where(onehot, a, 0), axis=0)
+        accept = in_chain & found
+
+        sel = lambda new, old: jnp.where(accept, new, old)
+        tops[idx] = [sel(pick(top_x), tops[idx][0]),
+                     sel(pick(top_y), tops[idx][1])]
+        sizes[idx] = [sel(pick(szx), sizes[idx][0]),
+                      sel(pick(szy), sizes[idx][1])]
+        entries[idx] = [sel(pick(exit_x), entries[idx][0]),
+                        sel(pick(exit_y), entries[idx][1])]
+        entry_wall = sel(pick(next_entry_wall), entry_wall)
+        count = count + accept.astype(i32)
+        alive = accept | (~in_chain & alive)
+
+    # (n_max, 2, M) stacks for compaction/painting.
+    stack2 = lambda rows: jnp.stack([jnp.stack(r) for r in rows])
+    return stack2(tops), stack2(sizes), stack2(entries), count
+
+
 def make_multiroom(
     env_id: str,
     min_num_rooms: int,
@@ -312,33 +426,33 @@ def make_multiroom(
         import math as _math
 
         # Measured single-attempt success: ~0.85 (N2), ~0.55 (N4),
-        # ~0.3 (N6); margins sit >= 3x above 1/p and attempts are cheap.
-        margin = {2: 3.0, 4: 5.0, 6: 9.0}.get(max_num_rooms, 9.0)
+        # ~0.3 (N6).  Margins are sized so shortfall stays astronomically
+        # improbable at pool batches (n >= 4k): margin * p >= 1.3 and the
+        # acceptance count sits tens of sigmas above n (binomial std
+        # ~sqrt(M * p * (1-p)) ~ 130 at n=16k for N6).
+        margin = {2: 2.0, 4: 3.0, 6: 5.0}.get(max_num_rooms, 9.0)
         M = max(n + 8, int(_math.ceil(n * margin)))
         k_att, k_paint = jax.random.split(key)
 
-        def att(k):
-            k_num, k_a = jax.random.split(k)
-            num_rooms = jax.random.randint(
-                k_num, (), min_num_rooms, max_num_rooms + 1
-            )
-            tops, sizes, entries, count = _attempt(
-                k_a, n_max, 4, max_room_size, num_rooms
-            )
-            return tops, sizes, entries, count, count >= num_rooms
-
-        tops, sizes, entries, count, ok = jax.vmap(att)(
-            jax.random.split(k_att, M)
+        k_num, k_a = jax.random.split(k_att)
+        num_rooms = jax.random.randint(
+            k_num, (M,), min_num_rooms, max_num_rooms + 1
         )
+        tops, sizes, entries, count = _attempt_lanes(
+            k_a, M, n_max, 4, max_room_size, num_rooms
+        )
+        ok = count >= num_rooms
         order = jnp.argsort(~ok)  # stable: successes first, in draw order
         acc = jnp.sum(ok)
         idx = jnp.arange(n)
         sel = order[jnp.where(idx < acc, idx, idx % jnp.maximum(acc, 1))]
+        # (n_max, 2, M) -> (n, n_max, 2) for the batch-leading painter.
+        take = lambda a: jnp.moveaxis(a[..., sel], -1, 0)
         paint_keys = jax.vmap(lambda k: jax.random.split(k, 6))(
             jax.random.split(k_paint, n)
         )
         return jax.vmap(_paint, in_axes=(0, None, 0, 0, 0, 0))(
-            paint_keys, p, tops[sel], sizes[sel], entries[sel], count[sel]
+            paint_keys, p, take(tops), take(sizes), take(entries), count[sel]
         )
 
     return Environment(

@@ -78,11 +78,17 @@ def init(
 
     keys = jax.random.split(key, 2)
     # Right-edge door y in [top+1, top+room_size-1); down-edge door x same.
+    # Built as Python lists of scalars stacked ONCE: the previous
+    # .at[j,i,k].set chain compiled to ~36 serial dynamic-update-slices at
+    # ~1.7 ms each on the chip (overhead-bound full-array copies under
+    # vmap), dominating connect_all-family generation.  Values and draw
+    # keys are unchanged — bit-identical tables.
     ky_flat = jax.random.split(keys[0], rows * cols * 2)
     ky = lambda j, i, s: ky_flat[(j * cols + i) * 2 + s]
-    door_x = jnp.zeros((rows, cols, 4), dtype=jnp.int32)
-    door_y = jnp.zeros((rows, cols, 4), dtype=jnp.int32)
-    has_edge = jnp.zeros((rows, cols, 4), dtype=bool)
+    zero = jnp.asarray(0, dtype=jnp.int32)
+    dx = [[[zero] * 4 for _ in range(cols)] for _ in range(rows)]
+    dy = [[[zero] * 4 for _ in range(cols)] for _ in range(rows)]
+    he = [[[False] * 4 for _ in range(cols)] for _ in range(rows)]
     for j in range(rows):
         for i in range(cols):
             tx, ty = i * pitch, j * pitch
@@ -90,27 +96,37 @@ def init(
                 y = jax.random.randint(
                     ky(j, i, 0), (), ty + 1, ty + room_size - 1
                 )
-                door_x = door_x.at[j, i, 0].set(tx + room_size - 1)
-                door_y = door_y.at[j, i, 0].set(y)
-                has_edge = has_edge.at[j, i, 0].set(True)
+                dx[j][i][0] = jnp.asarray(tx + room_size - 1, jnp.int32)
+                dy[j][i][0] = y.astype(jnp.int32)
+                he[j][i][0] = True
             if j < rows - 1:
                 x = jax.random.randint(
                     ky(j, i, 1), (), tx + 1, tx + room_size - 1
                 )
-                door_x = door_x.at[j, i, 1].set(x)
-                door_y = door_y.at[j, i, 1].set(ty + room_size - 1)
-                has_edge = has_edge.at[j, i, 1].set(True)
+                dx[j][i][1] = x.astype(jnp.int32)
+                dy[j][i][1] = jnp.asarray(ty + room_size - 1, jnp.int32)
+                he[j][i][1] = True
     # Left/up mirror the neighbor's right/down slots (roomgrid.py:168-175).
     for j in range(rows):
         for i in range(cols):
             if i > 0:
-                door_x = door_x.at[j, i, 2].set(door_x[j, i - 1, 0])
-                door_y = door_y.at[j, i, 2].set(door_y[j, i - 1, 0])
-                has_edge = has_edge.at[j, i, 2].set(True)
+                dx[j][i][2] = dx[j][i - 1][0]
+                dy[j][i][2] = dy[j][i - 1][0]
+                he[j][i][2] = True
             if j > 0:
-                door_x = door_x.at[j, i, 3].set(door_x[j - 1, i, 1])
-                door_y = door_y.at[j, i, 3].set(door_y[j - 1, i, 1])
-                has_edge = has_edge.at[j, i, 3].set(True)
+                dx[j][i][3] = dx[j - 1][i][1]
+                dy[j][i][3] = dy[j - 1][i][1]
+                he[j][i][3] = True
+
+    def _stack(rowsxcols):
+        return jnp.stack(
+            [jnp.stack([jnp.stack(c) for c in row]) for row in rowsxcols]
+        )
+
+    door_x = _stack(dx)
+    door_y = _stack(dy)
+    # has_edge is static per (rows, cols): materialize host-side.
+    has_edge = jnp.asarray(he, dtype=bool)
 
     state = state.replace(
         agent_pos=jnp.asarray(
@@ -385,11 +401,45 @@ def connect_all(
 
     ni, nj = _neighbor(rows, cols, di, dj, dk)
     flat4 = (dj * cols + di) * 4 + dk
+    # The per-draw validity lookups index <=36-entry per-env tables with a
+    # (T,)-vector; under vmap those compile to (B, T) scalar gathers that
+    # measured ~44 ms each at 16k x 256 on the chip.  Pack each table into
+    # uint32 bitmask words instead — the lookup becomes an elementwise
+    # shift-and-mask, which vectorizes for free.  rows*cols <= 9 always
+    # (largest RoomGrid is 3x3), so flat4 < 36 needs two words and the
+    # room index fits one.
+    assert rows * cols <= 32
+    bits = jnp.arange(rows * cols, dtype=jnp.uint32)
+    locked_mask = jnp.sum(
+        jnp.where(ctx.locked.reshape(-1), jnp.uint32(1) << bits, jnp.uint32(0))
+    )
+    avail = ctx.has_edge.reshape(-1) & (ctx.edge.reshape(-1) == EDGE_NONE)
+    bits4 = jnp.arange(rows * cols * 4, dtype=jnp.uint32)
+    avail_lo = jnp.sum(
+        jnp.where(
+            avail & (bits4 < 32), jnp.uint32(1) << (bits4 % 32), jnp.uint32(0)
+        )
+    )
+    avail_hi = jnp.sum(
+        jnp.where(
+            avail & (bits4 >= 32), jnp.uint32(1) << (bits4 % 32), jnp.uint32(0)
+        )
+    )
+
+    def _bit(mask, idx):
+        return ((mask >> idx.astype(jnp.uint32)) & jnp.uint32(1)) != 0
+
+    f4 = flat4.astype(jnp.uint32)
+    in_lo = f4 < 32
+    avail_bit = jnp.where(
+        in_lo,
+        _bit(avail_lo, jnp.where(in_lo, f4, 0)),
+        _bit(avail_hi, jnp.where(in_lo, 0, f4 - 32)),
+    )
     valid = (
-        ctx.has_edge.reshape(-1)[flat4]
-        & (ctx.edge.reshape(-1)[flat4] == EDGE_NONE)
-        & (~ctx.locked.reshape(-1)[dj * cols + di])
-        & (~ctx.locked.reshape(-1)[nj * cols + ni])
+        avail_bit
+        & ~_bit(locked_mask, dj * cols + di)
+        & ~_bit(locked_mask, nj * cols + ni)
     )
     # Canonical physical edge id: (row, col, right|down) of the owning room.
     ci = jnp.where(dk == 2, di - 1, di)
@@ -441,7 +491,10 @@ def connect_all(
 
     # Doors added = first-occurrence valid draws at steps <= t_eff.
     go, gc, gs = state.grid_obj, state.grid_color, state.grid_state
-    edge_arr = ctx.edge
+    # Per-slot overrides collected as scalars and stacked ONCE (the former
+    # .at[j,i,k].set chain was ~20 serial dynamic-update-slices, same
+    # overhead class as the lattice build above).
+    override = [[[None] * 4 for _ in range(cols)] for _ in range(rows)]
     for e, (j, i, k) in enumerate(edges):
         accept = (~init_e[e]) & (time_e[e] <= t_eff)
         # One-hot writes with x = y = -1 on reject => written nowhere
@@ -451,14 +504,19 @@ def connect_all(
         go = G.cell_set(go, y, x, OBJ_DOOR)
         gc = G.cell_set(gc, y, x, color_e[e])
         gs = G.cell_set(gs, y, x, STATE_CLOSED)
-        new_edge = edge_arr.at[j, i, k].set(
-            jnp.where(accept, i32(EDGE_DOOR), edge_arr[j, i, k])
-        )
         bj, bi = (j, i + 1) if k == 0 else (j + 1, i)
-        bk = k + 2
-        edge_arr = new_edge.at[bj, bi, bk].set(
-            jnp.where(accept, i32(EDGE_DOOR), edge_arr[bj, bi, bk])
-        )
+        override[j][i][k] = accept
+        override[bj][bi][k + 2] = accept
+    slots = []
+    for j in range(rows):
+        for i in range(cols):
+            for k in range(4):
+                ov = override[j][i][k]
+                cur = ctx.edge[j, i, k]
+                slots.append(
+                    cur if ov is None else jnp.where(ov, i32(EDGE_DOOR), cur)
+                )
+    edge_arr = jnp.stack(slots).reshape(rows, cols, 4)
     state = state.replace(grid_obj=go, grid_color=gc, grid_state=gs)
     return state, ctx.replace(edge=edge_arr)
 
