@@ -171,6 +171,89 @@ def _vi_key_sweeps_per_s(batch=512, n_sweeps=96, backend="xla"):
     return batch * n_sweeps / (time.perf_counter() - t0)
 
 
+def _vi_obstructed_sweeps_per_s(batch=4, n_sweeps=64):
+    """Obstructed-domain VI sweeps/s (state space (ball-loc, key-loc,
+    door-config, dir, y, x) — ~HW^2-fold the key domain's states per
+    layout) on BlockedUnlockPickup layouts.  XLA backend; the dense state
+    tensor is ~(HW+2)^2 * Cd * 4 * HW f32 per layout (~46 MB at 11x6), so
+    the layout batch stays small and the Pallas VMEM budget is out of
+    reach — see dp/pallas_vi.py for the domains that fit."""
+    from functools import partial
+
+    from minigrid_dynamicprogramming_tpu.dp.tabular_obstructed import (
+        extract_obstructed_layout,
+        obstructed_value_iteration,
+    )
+
+    import jax.numpy as jnp
+
+    env = mgtpu.make("MiniGrid-BlockedUnlockPickup-v0")
+    keys = jax.random.split(jax.random.PRNGKey(17), batch)
+    gen = jax.jit(jax.vmap(env.generate, in_axes=(0, None)), static_argnums=1)
+    states = gen(keys, env.params)
+
+    # The objective is the box in the far room (blockedunlockpickup.py);
+    # its color varies per layout.
+    def _extract(state):
+        is_box = state.grid_obj == 7  # OBJ_BOX
+        flat = jnp.argmax(is_box.ravel())
+        c = state.grid_color.ravel()[flat].astype(jnp.int32)
+        return extract_obstructed_layout(
+            state, max_doors=1, target_type=7, target_color=c
+        )
+
+    layouts = jax.jit(jax.vmap(_extract))(states)
+    vi = jax.jit(
+        jax.vmap(
+            partial(
+                obstructed_value_iteration, gamma=0.995, n_sweeps=n_sweeps
+            )
+        )
+    )
+    _sync(vi(layouts)[0])
+    t0 = time.perf_counter()
+    _sync(vi(layouts)[0])
+    return batch * n_sweeps / (time.perf_counter() - t0)
+
+
+def _vi_twokey_sweeps_per_s(batch=2, n_sweeps=48):
+    """Two-key-chain VI sweeps/s on BabyAI-UnlockToUnlock layouts (state
+    space (key1-loc, key2-loc, door-config, dir, y, x); ~59 MB f32 per
+    layout at 16x6 — the largest exact domain)."""
+    from functools import partial
+
+    import jax.numpy as jnp
+
+    from minigrid_dynamicprogramming_tpu.dp.tabular_twokey import (
+        extract_twokey_layout,
+        twokey_value_iteration,
+    )
+
+    env = mgtpu.make("BabyAI-UnlockToUnlock-v0")
+    keys = jax.random.split(jax.random.PRNGKey(23), batch)
+    gen = jax.jit(jax.vmap(env.generate, in_axes=(0, None)), static_argnums=1)
+    states = gen(keys, env.params)
+
+    def _extract(state):
+        is_ball = state.grid_obj == 6  # OBJ_BALL (the pickup target)
+        flat = jnp.argmax(is_ball.ravel())
+        c = state.grid_color.ravel()[flat].astype(jnp.int32)
+        return extract_twokey_layout(
+            state, max_doors=2, target_type=6, target_color=c
+        )
+
+    layouts = jax.jit(jax.vmap(_extract))(states)
+    vi = jax.jit(
+        jax.vmap(
+            partial(twokey_value_iteration, gamma=0.995, n_sweeps=n_sweeps)
+        )
+    )
+    _sync(vi(layouts)[0])
+    t0 = time.perf_counter()
+    _sync(vi(layouts)[0])
+    return batch * n_sweeps / (time.perf_counter() - t0)
+
+
 def _ppo_steps_per_s(num_envs=32768, rollout_len=32):
     """BASELINE config 5 on hardware: BabyAI-GoToDoor pool-autoreset envs
     feeding the PPO learner on a single-chip mesh.  Config 5 specifies 64k
@@ -263,6 +346,8 @@ def main() -> None:
             "vi_key_pallas_sweeps_per_s",
             lambda: _vi_key_sweeps_per_s(backend="pallas"),
         ),
+        ("vi_obstructed_sweeps_per_s", _vi_obstructed_sweeps_per_s),
+        ("vi_twokey_sweeps_per_s", _vi_twokey_sweeps_per_s),
     ):
         try:
             extra[name] = round(fn(), 1)
