@@ -74,6 +74,123 @@ print(distributed.process_summary())
     assert "global_devices=4" in out.stdout
 
 
+_TWOPROC_WORKER = """
+import sys
+addr, pid, out_path = sys.argv[1], int(sys.argv[2]), sys.argv[3]
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 4)
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_cpu_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+from minigrid_dynamicprogramming_tpu.parallel import distributed
+distributed.initialize(addr, num_processes=2, process_id=pid)
+import numpy as np
+import minigrid_dynamicprogramming_tpu as mgtpu
+from minigrid_dynamicprogramming_tpu.parallel.lanes import lane_rollout
+mesh = distributed.global_env_mesh()
+assert mesh.devices.size == 8, mesh
+env = mgtpu.make("MiniGrid-Empty-5x5-v0")
+res = lane_rollout(env, jax.random.PRNGKey(0), 16, 64, "pool", 2, mesh)
+jax.block_until_ready(res.final_state.grid_obj)
+# Each process can address only its 4 devices' shards; dump them keyed by
+# their global env-axis offset so the parent can reassemble and compare.
+shards = {}
+for name in ("agent_x", "resets_per_env"):
+    arr = getattr(res.final_state, name, None)
+    if arr is None:
+        arr = getattr(res, name)
+    for s in arr.addressable_shards:
+        shards[name + "_" + str(s.index[-1].start or 0)] = np.asarray(s.data)
+np.savez(out_path, episodes=int(res.episodes),
+         obs_checksum=int(res.obs_checksum),
+         total_reward=float(res.total_reward), **shards)
+print("worker", pid, "ok", distributed.process_summary())
+"""
+
+
+def test_distributed_two_process_bit_equality(tmp_path):
+    """Real 2-process ``jax.distributed`` group (coordinator + Gloo CPU
+    collectives, 4 virtual devices per process = 8 global): the sharded lane
+    rollout must be bit-identical to the single-process 8-device run, and the
+    psum-reduced scalars (episodes / obs_checksum) must agree on BOTH
+    processes.  This exercises the cross-host path that
+    ``test_distributed_initialize_single_process`` cannot: non-addressable
+    shards, cross-process collectives, and coordinator rendezvous.
+
+    Reference analog: ``/root/reference/tests/test_envs.py:318-330`` smoke-
+    tests SyncVectorEnv; our bar adds multi-process bit-equality.
+    """
+    import os
+    import pathlib
+    import subprocess
+    import sys
+
+    import minigrid_dynamicprogramming_tpu as mgtpu
+    from minigrid_dynamicprogramming_tpu.parallel.lanes import lane_rollout
+    from minigrid_dynamicprogramming_tpu.parallel.sharding import env_mesh
+
+    pkg_root = str(pathlib.Path(mgtpu.__file__).resolve().parent.parent)
+    env_vars = dict(os.environ)
+    env_vars["PYTHONPATH"] = (
+        pkg_root + os.pathsep + env_vars.get("PYTHONPATH", "")
+    )
+
+    port = socket.socket()
+    port.bind(("127.0.0.1", 0))
+    addr = f"127.0.0.1:{port.getsockname()[1]}"
+    port.close()
+
+    worker_py = tmp_path / "twoproc_worker.py"
+    worker_py.write_text(_TWOPROC_WORKER)
+    outs = [tmp_path / "p0.npz", tmp_path / "p1.npz"]
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker_py), addr, str(pid), str(out)],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+            env=env_vars,
+        )
+        for pid, out in enumerate(outs)
+    ]
+    logs = []
+    for p in procs:
+        try:
+            log, _ = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        logs.append(log)
+    for pid, (p, log) in enumerate(zip(procs, logs)):
+        assert p.returncode == 0, f"worker {pid} failed:\n{log}"
+        assert f"worker {pid} ok" in log
+
+    # Single-process truth on this test process's own 8-device mesh.
+    mesh = env_mesh(jax.devices())
+    env = mgtpu.make("MiniGrid-Empty-5x5-v0")
+    res = lane_rollout(env, jax.random.PRNGKey(0), 16, 64, "pool", 2, mesh)
+
+    dumps = [np.load(o) for o in outs]
+    for name, ref in (
+        ("agent_x", np.asarray(res.final_state.agent_x)),
+        ("resets_per_env", np.asarray(res.resets_per_env)),
+    ):
+        parts = {}
+        for d in dumps:
+            for k in d.files:
+                if k.startswith(name + "_"):
+                    parts[int(k[len(name) + 1 :])] = d[k]
+        got = np.concatenate([parts[k] for k in sorted(parts)])
+        np.testing.assert_array_equal(got, ref, err_msg=name)
+    for pid, d in enumerate(dumps):
+        assert int(d["episodes"]) == int(res.episodes), pid
+        assert int(d["obs_checksum"]) == int(res.obs_checksum), pid
+        np.testing.assert_allclose(
+            float(d["total_reward"]), float(res.total_reward), rtol=1e-5
+        )
+
+
 def test_distributed_initialize_after_backend_raises_with_guidance():
     jax.devices()  # backend is up in the test process
     distributed._initialized = False
