@@ -6,8 +6,15 @@ import numpy as np
 
 
 def make_reference_env(env_id: str, seed: int):
-    import gymnasium as gym
-    import minigrid  # noqa: F401  (registers envs via entry point or below)
+    import pytest
+
+    # Parity tests need the upstream reference as oracle (conftest puts
+    # /root/reference on sys.path); in CI environments without it the
+    # parity tier skips instead of erroring.
+    gym = pytest.importorskip("gymnasium")
+    minigrid = pytest.importorskip(
+        "minigrid", reason="reference oracle not on sys.path"
+    )
 
     try:
         env = gym.make(env_id, disable_env_checker=True)
