@@ -267,7 +267,15 @@ def _ppo_steps_per_s(num_envs=32768, rollout_len=32):
     recompiles because the update's output array shardings differ from
     ``init``'s, and jit keys its cache on input shardings.  Timing from
     call 3 measures steady state (rounds 1-4 timed from call 2 and so
-    reported the recompile, understating HEAD by >10x)."""
+    reported the recompile, understating HEAD by >10x).
+
+    Phase-split physics at HEAD (~0.09 s rollout / ~0.42 s learner): the
+    learner is now compute-bound, not assembly-bound.  Per update it does
+    epochs(2) x full-batch forward+backward = ~6 forward-equivalents per
+    sample vs the rollout's 1, so learner ~= 6 x rollout is the flops
+    floor for this model; the round-4 target "learner < rollout" was set
+    when both phases were dominated by gathers and is not reachable (nor
+    meaningful) once those are gone."""
     from minigrid_dynamicprogramming_tpu.models.ppo import PPO, PPOConfig
 
     env = mgtpu.make("BabyAI-GoToDoor-v0")

@@ -56,6 +56,15 @@ class PPOConfig:
     # replays each slot's initial layout.
     autoreset: str = struct.field(pytree_node=False, default="pool")
     pool_rounds: int = struct.field(pytree_node=False, default=4)
+    # XLA:CPU executes loop (scan/while) bodies with restricted intra-op
+    # threading, which serializes the learner's conv backward: ANY scan
+    # around the SGD step — even length-1 or unroll=True — measured ~14 s
+    # vs 0.9 s straight-line at 64 envs x 16 steps on a 2-core runner.
+    # None = auto: Python-unroll the epoch/minibatch loops into
+    # straight-line XLA on the CPU backend (test/dev meshes), keep the
+    # rolled lax.scan on accelerators where loops are free and unrolling
+    # only bloats compile time.
+    learner_unroll: bool = struct.field(pytree_node=False, default=None)
     # "lanes" collects the rollout on the lane-major (batch-last) fast path
     # (parallel/lanes.py) — one obs encode per step on the bit-sliced
     # encoder, transposed to batch-first only at the model boundary; "vmap"
@@ -351,6 +360,10 @@ class PPO:
             params = optax.apply_updates(params, updates)
             return (params, opt_state), (loss, *aux)
 
+        unrolled = cfg.learner_unroll
+        if unrolled is None:
+            unrolled = jax.default_backend() == "cpu"
+
         def epoch_step(carry, key_e):
             params, opt_state = carry
             perm = jax.random.permutation(key_e, B)
@@ -366,17 +379,30 @@ class PPO:
                 )
 
             mbs = jax.tree_util.tree_map(take, batch)
-            (params, opt_state), metrics = jax.lax.scan(
-                minibatch_step, (params, opt_state), mbs
-            )
-            return (params, opt_state), metrics
+            if unrolled:
+                carry2, ms = (params, opt_state), []
+                for i in range(cfg.num_minibatches):
+                    mb = jax.tree_util.tree_map(lambda x: x[i], mbs)
+                    carry2, m = minibatch_step(carry2, mb)
+                    ms.append(m)
+                return carry2, jax.tree_util.tree_map(
+                    lambda *xs: jnp.stack(xs), *ms
+                )
+            return jax.lax.scan(minibatch_step, (params, opt_state), mbs)
 
         key, k_epochs = jax.random.split(key)
-        (params, opt_state), metrics = jax.lax.scan(
-            epoch_step,
-            (ts.params, ts.opt_state),
-            jax.random.split(k_epochs, cfg.epochs),
-        )
+        ep_keys = jax.random.split(k_epochs, cfg.epochs)
+        if unrolled:
+            carry, ms = (ts.params, ts.opt_state), []
+            for e in range(cfg.epochs):
+                carry, m = epoch_step(carry, ep_keys[e])
+                ms.append(m)
+            params, opt_state = carry
+            metrics = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *ms)
+        else:
+            (params, opt_state), metrics = jax.lax.scan(
+                epoch_step, (ts.params, ts.opt_state), ep_keys
+            )
 
         loss, policy_loss, value_loss, entropy, approx_kl = (
             m.mean() for m in metrics
