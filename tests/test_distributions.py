@@ -276,7 +276,10 @@ def _ref_shape(instr):
     return clause(i)
 
 
-@pytest.mark.parametrize("env_id", ["BabyAI-SynthSeq-v0", "BabyAI-MiniBossLevel-v0"])
+# MiniBossLevel covers the full LevelGen instruction sampler in the
+# default tier; SynthSeq (same sampler, deeper acceptance loop, ~26 s on
+# the CI runner) moves to -m slow.
+@pytest.mark.parametrize("env_id", ["BabyAI-MiniBossLevel-v0"])
 def test_levelgen_instruction_shape_distribution(env_id):
     """rand_instr draws instr kind uniform over {action, and, seq}, then
     action kinds uniform (levelgen.py:157-210), *conditioned on* the
@@ -301,3 +304,9 @@ def test_levelgen_instruction_shape_distribution(env_id):
             ref_leaf[k] += shape.count(k)
     assert_same_distribution(ours_root, ref_root, f"{env_id} root shape")
     assert_same_distribution(ours_leaf, ref_leaf, f"{env_id} leaf kinds")
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("env_id", ["BabyAI-SynthSeq-v0"])
+def test_levelgen_instruction_shape_distribution_deep(env_id):
+    test_levelgen_instruction_shape_distribution(env_id)

@@ -99,11 +99,14 @@ def _solve_from_reference(env_id, seed):
     return ref_env, state, layout, v, pol
 
 
+# One BFS-verified case in the default tier (the full 1Dlhb domain: box +
+# blocker); host-side BFS over the product state space is ~30 s/case on
+# the CI runner, so the other families/seed variations run in -m slow.
 CASES = [
     ("MiniGrid-ObstructedMaze-1Dlhb-v0", 0),
-    ("MiniGrid-BlockedUnlockPickup-v0", 0),
 ]
 CASES_SLOW = [
+    ("MiniGrid-BlockedUnlockPickup-v0", 0),
     ("MiniGrid-ObstructedMaze-1Dlhb-v0", 3),
     ("MiniGrid-ObstructedMaze-1Dlh-v0", 1),  # box, no blocker
     ("MiniGrid-BlockedUnlockPickup-v0", 5),

@@ -22,12 +22,15 @@ from minigrid_dynamicprogramming_tpu.utils.telemetry import (
     generation_acceptance,
 )
 
+# BossLevel exercises the same pooled path through the deepest LevelGen
+# program (~25 s/test on the CI runner); it runs in -m slow, the other
+# three regimes (fixed-room, RoomGrid, recursive MultiRoom) stay default.
 BENCH_IDS = [
     "BabyAI-GoToLocal-v0",
-    "BabyAI-BossLevel-v0",
     "BabyAI-GoToDoor-v0",
     "MiniGrid-MultiRoom-N6-v0",
 ]
+DEEP_IDS = ["BabyAI-BossLevel-v0"]
 
 
 def _margin(env):
@@ -76,6 +79,18 @@ def test_pooled_margin_is_safe(env_id):
     rep = generation_acceptance(env, n=384)
     p_accept = 1.0 / rep["mean_tries"]
     assert _margin(env) * p_accept >= 1.2, (env_id, rep["mean_tries"])
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("env_id", DEEP_IDS)
+def test_pooled_matches_loop_distribution_deep(env_id):
+    test_pooled_matches_loop_distribution(env_id)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("env_id", DEEP_IDS)
+def test_pooled_margin_is_safe_deep(env_id):
+    test_pooled_margin_is_safe(env_id)
 
 
 @pytest.mark.slow

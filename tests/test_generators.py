@@ -87,6 +87,17 @@ def common_checks(env, state):
 
 @pytest.mark.parametrize("env_id", sorted(mgtpu.registered_ids()))
 def test_generator_valid(env_id):
+    # batch 8 in the default tier: the checks are per-layout structural
+    # gates, and generator execution on the CPU runner is loop-bound
+    # (roughly linear in batch for the heavy BabyAI families); the deep
+    # batch-32 sweep runs in the slow tier.
+    env, state = reset_batch(env_id, batch=8)
+    common_checks(env, state)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("env_id", sorted(mgtpu.registered_ids()))
+def test_generator_valid_deep(env_id):
     env, state = reset_batch(env_id)
     common_checks(env, state)
 
