@@ -85,14 +85,75 @@ def common_checks(env, state):
         assert (a == a[0]).all(), "aux varies but fixed_aux is set"
 
 
-@pytest.mark.parametrize("env_id", sorted(mgtpu.registered_ids()))
+# Default-tier generator sweep: one id per GENERATION REGIME (layout
+# builder x rejection structure x instruction sampler), biased toward the
+# largest/deepest variant of each regime so the heavy code paths stay
+# exercised per-commit.  The full 171-id sweep runs in the slow tier
+# (test_generator_valid_deep) — generator execution on the 2-core CPU
+# runner is while_loop-bound (XLA:CPU runs loop bodies single-threaded),
+# so the registry-wide sweep alone costs ~3 min of the default budget.
+REGIME_IDS = [
+    # -- MiniGrid layout builders -------------------------------------
+    "MiniGrid-Empty-Random-6x6-v0",       # bare room + random agent
+    "MiniGrid-DoorKey-8x8-v0",            # splitting wall + key/door
+    "MiniGrid-FourRooms-v0",              # fixed lattice + gaps
+    "MiniGrid-MultiRoom-N6-v0",           # recursive room chain (deepest)
+    "MiniGrid-LavaCrossingS11N5-v0",      # rivers + crossings (largest)
+    "MiniGrid-SimpleCrossingS11N5-v0",
+    "MiniGrid-DistShift2-v0",             # fixed lava strip
+    "MiniGrid-LavaGapS7-v0",              # single-gap wall
+    "MiniGrid-Fetch-8x8-N3-v0",           # typed distractors + mission
+    "MiniGrid-GoToDoor-8x8-v0",           # wall doors + aux target
+    "MiniGrid-GoToObject-8x8-N2-v0",
+    "MiniGrid-PutNear-8x8-N3-v0",
+    "MiniGrid-RedBlueDoors-8x8-v0",
+    "MiniGrid-MemoryS17Random-v0",        # hallway + memory (largest)
+    "MiniGrid-LockedRoom-v0",             # 6-room wall layout
+    "MiniGrid-KeyCorridorS6R3-v0",        # RoomGrid scaffold (largest)
+    "MiniGrid-Unlock-v0",
+    "MiniGrid-UnlockPickup-v0",
+    "MiniGrid-BlockedUnlockPickup-v0",    # blocker ball
+    "MiniGrid-ObstructedMaze-1Dlhb-v0",   # box-hidden key + blocker
+    "MiniGrid-ObstructedMaze-Full-v1",    # multi-quadrant (deepest)
+    "MiniGrid-Dynamic-Obstacles-8x8-v0",  # moving balls in aux
+    "MiniGrid-Playground-v0",             # kitchen-sink objects
+    # -- BabyAI room-grid levels (verifier + instruction encodings) ---
+    "BabyAI-GoToRedBallGrey-v0",          # fixed-room, no distractor color
+    "BabyAI-GoToLocal-v0",                # fixed-room + instr
+    "BabyAI-GoToObjMazeS7-v0",            # 3x3 maze + distractors (large)
+    "BabyAI-GoToImpUnlock-v0",            # implicit unlock reasoning
+    "BabyAI-GoToSeqS5R2-v0",              # seq instruction
+    "BabyAI-Open-v0",                     # open family
+    "BabyAI-OpenDoorsOrderN4-v0",         # ordered two-door seq
+    "BabyAI-PickupAbove-v0",              # located pickup
+    "BabyAI-PutNextLocalS6N4-v0",         # putnext planes
+    "BabyAI-PutNextS7N4Carrying-v0",      # start-carrying quirk
+    "BabyAI-UnblockPickup-v0",            # blocker + pickup
+    "BabyAI-KeyInBox-v0",                 # key hidden in box
+    "BabyAI-KeyCorridorS6R3-v0",          # largest KeyCorridor
+    "BabyAI-FindObjS7-v0",                # closed-room search (largest)
+    "BabyAI-MoveTwoAcrossS8N9-v0",        # two-object putnext (largest)
+    "BabyAI-ActionObjDoor-v0",            # mixed action instr
+    "BabyAI-UnlockToUnlock-v0",           # two-key chain
+    "BabyAI-Synth-v0",                    # LevelGen union
+    "BabyAI-SynthSeq-v0",                 # LevelGen + seq (deepest accept)
+    "BabyAI-BossLevel-v0",                # full LevelGen (deepest)
+]
+
+
+@pytest.mark.parametrize("env_id", REGIME_IDS)
 def test_generator_valid(env_id):
     # batch 8 in the default tier: the checks are per-layout structural
     # gates, and generator execution on the CPU runner is loop-bound
     # (roughly linear in batch for the heavy BabyAI families); the deep
-    # batch-32 sweep runs in the slow tier.
+    # batch-32 sweep over ALL registered ids runs in the slow tier.
     env, state = reset_batch(env_id, batch=8)
     common_checks(env, state)
+
+
+def test_regime_ids_are_registered():
+    missing = [i for i in REGIME_IDS if i not in set(mgtpu.registered_ids())]
+    assert not missing, missing
 
 
 @pytest.mark.slow

@@ -25,7 +25,10 @@ LANE_ENVS = [
 ]
 
 BATCH = 64
-STEPS = 60
+# 30 per-step parity rounds in the default tier (each round syncs both
+# paths host-side, which dominates on the CI runner); the slow tier's
+# registry-wide sweep plus the 64-layout batches keep coverage deep.
+STEPS = 30
 
 
 def _batched_state(env, key, batch):

@@ -19,7 +19,7 @@ from minigrid_dynamicprogramming_tpu.parallel.sharding import env_mesh
 
 def test_ppo_update_runs_sharded():
     env = mgtpu.make("MiniGrid-Empty-5x5-v0")
-    cfg = PPOConfig(num_envs=64, rollout_len=16, epochs=1, num_minibatches=2)
+    cfg = PPOConfig(num_envs=64, rollout_len=8, epochs=1, num_minibatches=2)
     ppo = PPO(env, cfg, mesh=env_mesh())
     ts = ppo.init(jax.random.PRNGKey(0))
     ts, m = ppo.update(ts)

@@ -161,7 +161,7 @@ _CARRYING_IDS = {i for i in TRAJ_ENVS if "Carrying" in i}
 
 
 @pytest.mark.parametrize("env_id", TRAJ_ENVS)
-@pytest.mark.parametrize("seed", [0, 7, 23])
+@pytest.mark.parametrize("seed", [0, 23])
 def test_trajectory_parity_from_seed(env_id, seed, n_steps=150):
     ref_env, ref_obs = make_reference_env(env_id, seed)
     state, env = twin_reset(env_id, seed)
@@ -190,6 +190,13 @@ def test_trajectory_parity_from_seed(env_id, seed, n_steps=150):
         if ref_term or ref_trunc:
             break
     ref_env.close()
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("env_id", TRAJ_ENVS)
+@pytest.mark.parametrize("seed", [7, 41, 97])
+def test_trajectory_parity_from_seed_deep(env_id, seed):
+    test_trajectory_parity_from_seed(env_id, seed)
 
 
 # Stochastic-TRANSITION family: the reference consumes np_random draws inside
